@@ -1,0 +1,10 @@
+from .builder import DATASETS, build_dataset
+from .transform import TRANSFORMS, Compose, GridSample
+from .defaults import DefaultDataset, ConcatDataset
+from .utils import collate_fn, point_collate_fn, pad_to_point_batch
+from .loader import DataLoader
+
+from . import scannet  # noqa: F401
+from . import s3dis  # noqa: F401
+from . import modelnet  # noqa: F401
+from . import synthetic  # noqa: F401

@@ -1,0 +1,12 @@
+from .builder import HOOKS, build_hooks
+from .default import HookBase
+from .misc import (
+    IterationTimer,
+    InformationWriter,
+    CheckpointSaver,
+    CheckpointLoader,
+    GarbageHandler,
+    PreciseEvaluator,
+    RuntimeProfiler,
+)
+from .evaluator import SemSegEvaluator, ClsEvaluator

@@ -1,0 +1,121 @@
+"""Per-epoch evaluators (voxel-level val).
+
+Parity: reference `pointcept/engines/hooks/evaluator.py` — `SemSegEvaluator:118`
+(per-epoch val mIoU/mAcc/allAcc with cross-device reduction), `ClsEvaluator:23`.
+Cross-device reduction happens inside the jitted eval step (psum over the mesh);
+hooks only aggregate host-side numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pointcept_tpu.engines.hooks.builder import HOOKS
+from pointcept_tpu.engines.hooks.default import HookBase
+
+
+@HOOKS.register_module()
+class SemSegEvaluator(HookBase):
+    def after_epoch(self):
+        if self.trainer.cfg.get("evaluate", True) and self.trainer.val_loader is not None:
+            self.eval()
+
+    def eval(self):
+        trainer = self.trainer
+        trainer.logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = trainer.cfg.data.num_classes
+        inter_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+        losses = []
+        for i, batch in enumerate(trainer.val_loader):
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+            res = trainer.eval_step(trainer.state, arrays)
+            inter = np.asarray(res["intersection"])
+            union = np.asarray(res["union"])
+            target = np.asarray(res["target"])
+            losses.append(float(res["loss"]))
+            inter_sum += inter
+            union_sum += union
+            target_sum += target
+            iou = inter.sum() / (union.sum() + 1e-10)
+            acc = inter.sum() / (target.sum() + 1e-10)
+            trainer.logger.info(
+                "Test: [{iter}/{max_iter}] Loss {loss:.4f} Batch iou {iou:.4f} acc {acc:.4f}".format(
+                    iter=i + 1, max_iter=len(trainer.val_loader), loss=losses[-1], iou=iou, acc=acc
+                )
+            )
+        iou_class = inter_sum / (union_sum + 1e-10)
+        acc_class = inter_sum / (target_sum + 1e-10)
+        m_iou = float(np.mean(iou_class))
+        m_acc = float(np.mean(acc_class))
+        all_acc = float(inter_sum.sum() / (target_sum.sum() + 1e-10))
+        trainer.logger.info(
+            "Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}.".format(m_iou, m_acc, all_acc)
+        )
+        names = trainer.cfg.data.get("names", [str(i) for i in range(num_classes)])
+        for i in range(num_classes):
+            trainer.logger.info(
+                "Class_{idx}-{name} Result: iou/accuracy {iou:.4f}/{accuracy:.4f}".format(
+                    idx=i, name=names[i], iou=iou_class[i], accuracy=acc_class[i]
+                )
+            )
+        current_epoch = trainer.epoch + 1
+        if trainer.storage is not None:
+            trainer.storage.put_scalar("val/loss", float(np.mean(losses)), smoothing_hint=False)
+            trainer.storage.put_scalar("val/mIoU", m_iou, smoothing_hint=False)
+            trainer.storage.put_scalar("val/mAcc", m_acc, smoothing_hint=False)
+            trainer.storage.put_scalar("val/allAcc", all_acc, smoothing_hint=False)
+        trainer.logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        trainer.comm_info["current_metric_value"] = m_iou
+        trainer.comm_info["current_metric_name"] = "mIoU"
+
+    def after_train(self):
+        self.trainer.logger.info(
+            "Best {}: {:.4f}".format("mIoU", self.trainer.best_metric_value)
+        )
+
+
+@HOOKS.register_module()
+class ClsEvaluator(HookBase):
+    def after_epoch(self):
+        if self.trainer.cfg.get("evaluate", True) and self.trainer.val_loader is not None:
+            self.eval()
+
+    def eval(self):
+        import jax
+
+        trainer = self.trainer
+        trainer.logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = trainer.cfg.data.num_classes
+        inter_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+        losses = []
+        for i, batch in enumerate(trainer.val_loader):
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+            res = trainer.cls_eval_step(trainer.state, arrays)
+            inter_sum += np.asarray(res["intersection"])
+            union_sum += np.asarray(res["union"])
+            target_sum += np.asarray(res["target"])
+            losses.append(float(res["loss"]))
+        iou_class = inter_sum / (union_sum + 1e-10)
+        acc_class = inter_sum / (target_sum + 1e-10)
+        m_iou = float(np.mean(iou_class))
+        m_acc = float(np.mean(acc_class))
+        all_acc = float(inter_sum.sum() / (target_sum.sum() + 1e-10))
+        trainer.logger.info(
+            "Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}.".format(m_iou, m_acc, all_acc)
+        )
+        if trainer.storage is not None:
+            trainer.storage.put_scalar("val/loss", float(np.mean(losses)), smoothing_hint=False)
+            trainer.storage.put_scalar("val/mAcc", m_acc, smoothing_hint=False)
+            trainer.storage.put_scalar("val/allAcc", all_acc, smoothing_hint=False)
+        trainer.logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        trainer.comm_info["current_metric_value"] = all_acc
+        trainer.comm_info["current_metric_name"] = "allAcc"
+
+    def after_train(self):
+        self.trainer.logger.info("Best {}: {:.4f}".format("allAcc", self.trainer.best_metric_value))

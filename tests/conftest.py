@@ -1,16 +1,26 @@
-"""Test config: force a virtual 8-device CPU platform before JAX initializes.
+"""Test config: force a virtual 8-device CPU platform.
 
+The environment ships an `axon` TPU plugin that registers itself from
+sitecustomize and force-selects jax_platforms="axon,cpu" — plain env vars are
+overridden by the time conftest runs. So: set XLA flags (read lazily at backend
+init), then override the platform through jax.config before any backend query.
 All tests run on CPU with 8 virtual devices so multi-chip sharding paths are
-exercised without TPU hardware (the driver separately dry-runs multichip).
+exercised without TPU hardware.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", f"tests must run on CPU, got {jax.devices()}"
+assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.device_count()}"
 
 import numpy as np
 import pytest

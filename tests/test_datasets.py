@@ -1,0 +1,175 @@
+import numpy as np
+import pytest
+
+from pointcept_tpu.datasets import (
+    Compose,
+    DataLoader,
+    build_dataset,
+    collate_fn,
+    point_collate_fn,
+)
+from pointcept_tpu.datasets.transform import GridSample, TRANSFORMS
+
+
+def scene(n=1000, seed=0):
+    rng = np.random.RandomState(seed)
+    return dict(
+        coord=rng.rand(n, 3).astype(np.float32) * 5,
+        color=rng.rand(n, 3).astype(np.float32) * 255,
+        normal=rng.randn(n, 3).astype(np.float32),
+        segment=rng.randint(0, 13, n).astype(np.int32),
+    )
+
+
+def test_grid_sample_train_unique_voxels():
+    data = scene(5000)
+    gs = GridSample(grid_size=0.1, mode="train", return_grid_coord=True)
+    out = gs(dict(data))
+    grid = out["grid_coord"]
+    keys = grid[:, 0] * 10**6 + grid[:, 1] * 10**3 + grid[:, 2]
+    assert len(np.unique(keys)) == len(keys)  # one point per voxel
+    assert out["coord"].shape[0] == out["segment"].shape[0]
+    assert grid.min() >= 0
+
+
+def test_grid_sample_test_covers_all_points():
+    data = scene(3000)
+    gs = GridSample(grid_size=0.2, mode="test", return_grid_coord=True)
+    parts = gs(dict(data))
+    assert len(parts) > 1
+    covered = np.concatenate([p["index"] for p in parts])
+    assert set(covered.tolist()) == set(range(3000))
+
+
+def test_transform_pipeline_runs():
+    pipeline = Compose(
+        [
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomDropout", dropout_ratio=0.2, dropout_application_ratio=1.0),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=1.0),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="ElasticDistortion", distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+            dict(type="ChromaticAutoContrast", p=1.0, blend_factor=None),
+            dict(type="ChromaticTranslation", p=1.0, ratio=0.05),
+            dict(type="ChromaticJitter", p=1.0, std=0.05),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train", return_grid_coord=True),
+            dict(type="SphereCrop", point_max=500, mode="random"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=("color", "normal")),
+        ]
+    )
+    out = pipeline(scene(4000))
+    n = out["coord"].shape[0]
+    assert n <= 500
+    assert out["feat"].shape == (n, 6)
+    assert out["grid_coord"].shape == (n, 3)
+    assert out["offset"][0] == n
+
+
+def test_collate_and_padding():
+    samples = []
+    for i in range(3):
+        d = scene(100 + 50 * i, seed=i)
+        d["offset"] = np.array([d["coord"].shape[0]])
+        d["feat"] = np.concatenate([d["color"], d["normal"]], axis=1)
+        d.pop("color"), d.pop("normal")
+        samples.append(d)
+    batch = point_collate_fn(samples, mix_prob=0.0, capacity=512)
+    assert batch["coord"].shape == (512, 3)
+    assert batch["feat"].shape == (512, 6)
+    assert (batch["batch"] >= 0).sum() == 100 + 150 + 200
+    np.testing.assert_array_equal(np.unique(batch["batch"]), [-1, 0, 1, 2])
+    # padding labels are ignore
+    assert (batch["segment"][batch["batch"] < 0] == -1).all()
+
+
+def test_mix3d_merges_pairs():
+    samples = []
+    for i in range(4):
+        d = scene(100, seed=i)
+        d["offset"] = np.array([100])
+        samples.append(d)
+    batch = point_collate_fn(samples, mix_prob=1.0, capacity=512)
+    valid = batch["batch"][batch["batch"] >= 0]
+    assert set(np.unique(valid).tolist()) == {0, 1}  # 4 scenes -> 2 merged
+    assert (valid >= 0).sum() == 400
+
+
+def test_synthetic_dataset_and_loader():
+    ds = build_dataset(
+        dict(
+            type="SyntheticSemSegDataset",
+            split="train",
+            num_scenes=4,
+            num_points=2000,
+            num_classes=13,
+            transform=[
+                dict(type="GridSample", grid_size=0.05, mode="train", return_grid_coord=True),
+                dict(type="NormalizeColor"),
+                dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=("color", "normal")),
+            ],
+        )
+    )
+    assert len(ds) == 4
+    loader = DataLoader(
+        ds,
+        batch_size=2,
+        shuffle=True,
+        num_workers=0,
+        collate_fn=lambda b: point_collate_fn(b, capacity=8192),
+        seed=0,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["coord"].shape == (8192, 3)
+        assert (b["batch"] >= 0).sum() > 0
+
+
+def test_loader_multiworker_deterministic_order():
+    ds = build_dataset(
+        dict(
+            type="SyntheticSemSegDataset",
+            split="train",
+            num_scenes=8,
+            num_points=500,
+            num_classes=5,
+            transform=[dict(type="Collect", keys=("coord", "segment"), feat_keys=("color",))],
+        )
+    )
+    def make(nw):
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, num_workers=nw,
+            collate_fn=lambda b: point_collate_fn(b, capacity=2048), seed=3,
+        )
+        loader.set_epoch(1)
+        return [b["coord"].sum() for b in loader]
+
+    a = make(0)
+    b = make(2)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_modelnet_style_cls_collate():
+    ds = build_dataset(
+        dict(
+            type="SyntheticClsDataset",
+            split="train",
+            num_clouds=8,
+            num_points=256,
+            num_classes=4,
+            transform=[
+                dict(type="NormalizeCoord"),
+                dict(type="GridSample", grid_size=0.05, mode="train", return_grid_coord=True),
+                dict(type="Collect", keys=("coord", "grid_coord", "segment", "category"), feat_keys=("coord", "normal")),
+            ],
+        )
+    )
+    batch = point_collate_fn([ds[0], ds[1]], capacity=1024)
+    assert batch["category"].shape == (2,)
+    assert batch["category"][0] == 0 and batch["category"][1] == 1
+    assert batch["feat"].shape[1] == 6

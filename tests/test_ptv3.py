@@ -1,0 +1,114 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcept_tpu.models import MODELS, build_model
+from tests.test_structure import make_batch
+
+
+def small_ptv3_cfg(**over):
+    cfg = dict(
+        type="PT-v3m1",
+        in_channels=6,
+        order=("z", "z-trans"),
+        stride=(2, 2),
+        enc_depths=(1, 1, 1),
+        enc_channels=(16, 32, 64),
+        enc_num_head=(2, 4, 8),
+        enc_patch_size=(32, 32, 32),
+        dec_depths=(1, 1),
+        dec_channels=(16, 32),
+        dec_num_head=(2, 4),
+        dec_patch_size=(32, 32),
+        mlp_ratio=2,
+        drop_path=0.1,
+        shuffle_orders=True,
+        serialize_depth=8,
+        pool_capacity_factors=(0.75, 0.75),
+    )
+    cfg.update(over)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pb():
+    return make_batch([150, 90, 40], capacity=384, num_classes=13)
+
+
+def test_ptv3_forward_shapes(pb):
+    model = build_model(small_ptv3_cfg())
+    rngs = {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, pb, train=False)
+    out = model.apply(variables, pb, train=False, rngs={"shuffle": jax.random.PRNGKey(3)})
+    assert out.feat.shape == (384, 16)
+    assert np.isfinite(np.asarray(out.feat)[np.asarray(out.mask)]).all()
+    # decoded batch preserves geometry of the input
+    np.testing.assert_array_equal(np.asarray(out.batch), np.asarray(pb.batch))
+
+
+def test_ptv3_segmentor_train_step(pb):
+    cfg = dict(
+        type="DefaultSegmentorV2",
+        num_classes=13,
+        backbone_out_channels=16,
+        backbone=small_ptv3_cfg(),
+        criteria=[
+            dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
+            dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
+        ],
+    )
+    model = build_model(cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, pb, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    @jax.jit
+    def loss_fn(params, batch_stats, pb, key):
+        ks, kd = jax.random.split(key)
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pb,
+            train=True,
+            rngs={"shuffle": ks, "dropout": kd},
+            mutable=["batch_stats"],
+        )
+        return out["loss"], (out["seg_logits"], updates["batch_stats"])
+
+    (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch_stats, pb, jax.random.PRNGKey(7)
+    )
+    assert np.isfinite(float(loss))
+    assert logits.shape == (384, 13)
+    # gradients flow to first and last layers
+    flat = jax.tree_util.tree_leaves(grads)
+    norms = [float(jnp.linalg.norm(g)) for g in flat]
+    assert all(np.isfinite(norms))
+    assert sum(n > 0 for n in norms) > len(norms) * 0.9
+    # batch stats updated
+    diff = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()), batch_stats, new_bs)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_ptv3_padding_invariance():
+    """Adding more padding slots must not change valid outputs (eval mode)."""
+    counts = [60, 40]
+    pb_small = make_batch(counts, capacity=128, num_classes=13)
+    pb_large = make_batch(counts, capacity=256, num_classes=13)
+    # same points: copy valid region
+    n = sum(counts)
+    pb_large = pb_large.replace(
+        coord=pb_large.coord.at[:128].set(pb_small.coord),
+        feat=pb_large.feat.at[:128].set(pb_small.feat),
+        grid_coord=pb_large.grid_coord.at[:128].set(pb_small.grid_coord),
+        batch=pb_large.batch.at[:128].set(pb_small.batch).at[128:].set(-1),
+        segment=pb_large.segment.at[:128].set(pb_small.segment).at[128:].set(-1),
+    )
+    model = build_model(small_ptv3_cfg(shuffle_orders=False, drop_path=0.0))
+    rngs = {"params": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, pb_small, train=False)
+    out_small = model.apply(variables, pb_small, train=False)
+    out_large = model.apply(variables, pb_large, train=False)
+    a = np.asarray(out_small.feat)[:n]
+    b = np.asarray(out_large.feat)[:n]
+    np.testing.assert_allclose(a, b, atol=2e-4)
