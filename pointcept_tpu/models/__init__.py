@@ -3,4 +3,5 @@ from .builder import MODELS, MODULES, build_model
 # import model families so they register
 from . import default  # noqa: F401
 from . import point_transformer_v3  # noqa: F401
+from . import sparse_unet  # noqa: F401
 from . import losses  # noqa: F401

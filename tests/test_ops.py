@@ -99,6 +99,10 @@ def test_subm_neighbor_map_matches_bruteforce():
     nbr = np.asarray(
         build_subm_neighbor_map(jnp.asarray(g2), jnp.asarray(kb), jnp.asarray(mask), 8, 3)
     )
+    nbr_bs = np.asarray(
+        build_subm_neighbor_map(jnp.asarray(g2), jnp.asarray(kb), jnp.asarray(mask), 8, 3, method="bsearch")
+    )
+    np.testing.assert_array_equal(nbr, nbr_bs)
     offs = kernel_offsets(3)
     lut = {(int(b2[i]), *g2[i].tolist()): i for i in range(n_valid)}
     for i in range(n_valid):
