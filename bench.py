@@ -26,6 +26,10 @@ TARGET_MULTIPLier = 2.0
 
 def main():
     import jax
+
+    from pointcept_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_arrays

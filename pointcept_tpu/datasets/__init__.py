@@ -8,3 +8,7 @@ from . import scannet  # noqa: F401
 from . import s3dis  # noqa: F401
 from . import modelnet  # noqa: F401
 from . import synthetic  # noqa: F401
+from . import semantic_kitti  # noqa: F401
+from . import nuscenes  # noqa: F401
+from . import waymo  # noqa: F401
+from . import structured3d  # noqa: F401

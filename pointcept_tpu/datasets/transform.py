@@ -102,6 +102,7 @@ class Copy:
         return data_dict
 
 
+@TRANSFORMS.register_module("Add")
 @TRANSFORMS.register_module()
 class Update:
     def __init__(self, keys_dict=None):

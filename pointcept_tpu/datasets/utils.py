@@ -130,6 +130,8 @@ def pad_to_point_batch(
         s = _sel(np.asarray(batch["instance"]).reshape(-1).astype(np.int32))
         out["instance"] = np.full((n,), -1, np.int32)
         out["instance"][:eff] = s
+    if "condition" in batch:
+        out["condition"] = batch["condition"]
     for key in ("category",):
         if key in batch:
             v = np.asarray(batch[key]).reshape(-1).astype(np.int32)

@@ -45,7 +45,7 @@ class TrainState:
     opt_state: Any
 
 
-def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int) -> PointBatch:
+def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int, condition: Optional[str] = None) -> PointBatch:
     """Device-shard arrays (leading dim already stripped) -> PointBatch."""
     return PointBatch(
         coord=arrays["coord"],
@@ -54,6 +54,7 @@ def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int) -> PointBat
         batch=arrays["batch"],
         segment=arrays.get("segment"),
         instance=arrays.get("instance"),
+        condition=condition,
         num_scenes=num_scenes,
     )
 
@@ -73,15 +74,22 @@ def device_collate(samples, num_devices: int, capacity_per_device: int, mix_prob
     for key in shards[0]:
         if key == "num_scenes":
             continue
+        if key == "condition":
+            conds = {s["condition"] for s in shards}
+            assert len(conds) == 1, f"mixed conditions in one step: {conds}"
+            out["condition"] = conds.pop()
+            continue
         out[key] = np.stack([s[key] for s in shards])
     out["num_scenes"] = per
     return out
 
 
-def build_train_step(model, tx, num_scenes: int, mesh: Mesh):
+def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional[str] = None):
     """The SPMD train step: shard_map over the "data" axis, grads pmean'd.
 
-    Shared by Trainer and the driver's multichip dry-run entry.
+    Shared by Trainer and the driver's multichip dry-run entry. `condition` is
+    the static dataset tag for PPT multi-dataset training (one jit
+    specialization per dataset).
     """
 
     def step_fn(state: TrainState, arrays: Dict[str, jnp.ndarray], key: jax.Array):
@@ -91,7 +99,7 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh):
         key = jax.random.fold_in(key, didx)
         key = jax.random.fold_in(key, state.step)
         ks, kd = jax.random.split(key)
-        pb = make_point_batch(arrays, num_scenes)
+        pb = make_point_batch(arrays, num_scenes, condition)
         extra = {}
         if "category" in arrays:
             extra["category"] = arrays["category"]
@@ -327,22 +335,28 @@ class Trainer(TrainerBase):
         self.state = jax.device_put(state, rep)
 
     # ---------------------------------------------------------------- train step
-    def _build_train_step(self):
+    def _build_train_step(self, condition=None):
         return build_train_step(
-            self.model, self.tx, self.cfg.batch_size // self.num_devices, self.mesh
+            self.model, self.tx, self.cfg.batch_size // self.num_devices, self.mesh, condition
         )
 
     @property
     def train_step(self):
         if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step()
+            self._train_step_fn = {}
         return self._train_step_fn
 
     def run_step(self):
         batch = self.comm_info["input_dict"]
-        arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+        condition = batch.get("condition")
+        arrays = {
+            k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "condition")
+        }
+        steps = self.train_step
+        if condition not in steps:
+            steps[condition] = self._build_train_step(condition)
         self._rng, key = jax.random.split(self._rng)
-        self.state, metrics = self.train_step(self.state, arrays, key)
+        self.state, metrics = steps[condition](self.state, arrays, key)
         lr = float(self.scheduler(int(self.state.step) - 1))
         self.comm_info["metrics"] = {"loss": metrics["loss"]}
         self.comm_info["lr"] = lr

@@ -98,6 +98,54 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class PDNorm(nn.Module):
+    """Prompt-Driven Normalization (reference
+    `point_prompt_training/prompt_driven_normalization.py:8`): per-condition
+    norm layers (decoupled) + optional adaptive scale-shift from a context
+    embedding. `condition` is static (one dataset per batch), so the norm is
+    selected at trace time; inactive condition norms are still constructed (so
+    init/checkpoints cover all datasets) but their outputs are dead code.
+    """
+
+    conditions: tuple = ("ScanNet", "S3DIS", "Structured3D")
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+    norm_type: str = "bn"  # "bn" (MaskedBatchNorm) or "ln" (LayerNorm)
+    bn_momentum: float = 0.01
+    bn_eps: float = 1e-3
+
+    def _make_norm(self, name):
+        if self.norm_type == "bn":
+            return MaskedBatchNorm(momentum=self.bn_momentum, eps=self.bn_eps, name=name)
+        return LayerNorm(name=name)
+
+    def _apply_norm(self, norm, x, mask, train):
+        if self.norm_type == "bn":
+            return norm(x, mask, train)
+        return norm(x)
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool, condition: str, context=None):
+        if self.decouple:
+            assert condition in self.conditions, f"unknown condition {condition}"
+            idx = self.conditions.index(condition)
+            ys = [
+                self._apply_norm(self._make_norm(f"norm{i}"), x, mask, train if i == idx else False)
+                for i in range(len(self.conditions))
+            ]
+            y = ys[idx]
+        else:
+            y = self._apply_norm(self._make_norm("norm"), x, mask, train)
+        if self.adaptive:
+            assert context is not None, "adaptive PDNorm needs a context embedding"
+            c = x.shape[-1]
+            mod = nn.Dense(2 * c, name="modulation")(nn.silu(context))
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            y = y * (1.0 + scale) + shift
+        return y
+
+
 class MLP(nn.Module):
     """fc1 -> act -> drop -> fc2 -> drop (reference `point_transformer_v3m1_base.py:225`)."""
 

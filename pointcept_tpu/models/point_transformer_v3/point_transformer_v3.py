@@ -31,7 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from pointcept_tpu.models.builder import MODELS
-from pointcept_tpu.models.modules import DropPath, LayerNorm, MaskedBatchNorm, MLP
+from pointcept_tpu.models.modules import DropPath, LayerNorm, MaskedBatchNorm, MLP, PDNorm
 from pointcept_tpu.models.utils.structure import PointBatch
 from pointcept_tpu.ops import serialization as ser
 from pointcept_tpu.ops.attention import patch_attention
@@ -40,6 +40,33 @@ from pointcept_tpu.ops.sparse_conv import build_subm_neighbor_map, gather_conv
 
 # torch kaiming_uniform(a=sqrt(5)) equivalent for conv/linear kernels
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+# pdnorm config: None for plain norms, else dict(conditions, decouple, adaptive)
+PDCfg = Optional[dict]
+
+
+def apply_bn(name: str, pd: PDCfg, x, mask, train, pb):
+    if pd is not None and pd.get("bn"):
+        return PDNorm(
+            conditions=tuple(pd["conditions"]),
+            decouple=pd["decouple"],
+            adaptive=pd["adaptive"],
+            norm_type="bn",
+            name=name,
+        )(x, mask, train, pb.condition, pb.context)
+    return MaskedBatchNorm(name=name)(x, mask, train)
+
+
+def apply_ln(name: str, pd: PDCfg, x, train, pb):
+    if pd is not None and pd.get("ln"):
+        return PDNorm(
+            conditions=tuple(pd["conditions"]),
+            decouple=pd["decouple"],
+            adaptive=pd["adaptive"],
+            norm_type="ln",
+            name=name,
+        )(x, None, train, pb.condition, pb.context)
+    return LayerNorm(name=name)(x)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -138,6 +165,7 @@ class Block(nn.Module):
     pre_norm: bool = True
     order_index: int = 0
     enable_rpe: bool = False
+    pd: PDCfg = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr3, partition, train: bool) -> PointBatch:
@@ -146,11 +174,11 @@ class Block(nn.Module):
         # xCPE residual
         cpe = SubMConv(c, 27, use_bias=True, name="cpe_conv")(feat, nbr3)
         cpe = nn.Dense(c, kernel_init=conv_kernel_init, name="cpe_linear")(cpe)
-        cpe = LayerNorm(name="cpe_norm")(cpe)
+        cpe = apply_ln("cpe_norm", self.pd, cpe, train, pb)
         feat = feat + cpe
 
         shortcut = feat
-        x = LayerNorm(name="norm1")(feat) if self.pre_norm else feat
+        x = apply_ln("norm1", self.pd, feat, train, pb) if self.pre_norm else feat
         x = SerializedAttention(
             channels=c,
             num_heads=self.num_heads,
@@ -166,10 +194,10 @@ class Block(nn.Module):
         x = DropPath(self.drop_path, name="drop_path1")(x, train)
         feat = shortcut + x
         if not self.pre_norm:
-            feat = LayerNorm(name="norm1")(feat)
+            feat = apply_ln("norm1", self.pd, feat, train, pb)
 
         shortcut = feat
-        x = LayerNorm(name="norm2")(feat) if self.pre_norm else feat
+        x = apply_ln("norm2", self.pd, feat, train, pb) if self.pre_norm else feat
         x = MLP(
             hidden_channels=int(c * self.mlp_ratio),
             out_channels=c,
@@ -179,7 +207,7 @@ class Block(nn.Module):
         x = DropPath(self.drop_path, name="drop_path2")(x, train)
         feat = shortcut + x
         if not self.pre_norm:
-            feat = LayerNorm(name="norm2")(feat)
+            feat = apply_ln("norm2", self.pd, feat, train, pb)
         return pb.replace(feat=feat)
 
 
@@ -197,6 +225,7 @@ class SerializedPooling(nn.Module):
     stride: int = 2
     reduce: str = "max"
     shuffle_orders: bool = True
+    pd: PDCfg = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool, shuffle_key=None):
@@ -262,7 +291,7 @@ class SerializedPooling(nn.Module):
             serialized_depth=pb.serialized_depth - pdepth,
             num_scenes=pb.num_scenes,
         )
-        out = out.replace(feat=nn.gelu(MaskedBatchNorm(name="norm")(out.feat, out.mask, train)))
+        out = out.replace(feat=nn.gelu(apply_bn("norm", self.pd, out.feat, out.mask, train, out)))
         if self.shuffle_orders and shuffle_key is not None:
             out = out.shuffle_orders_(shuffle_key)
         return out, cluster_of_point
@@ -272,15 +301,16 @@ class SerializedUnpooling(nn.Module):
     """Reference `SerializedUnpooling` (`:447-482`): proj + skip add by cluster."""
 
     out_channels: int
+    pd: PDCfg = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, skip_pb: PointBatch, cluster: jnp.ndarray, train: bool) -> PointBatch:
         m = pb.capacity
         x = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
-        x = MaskedBatchNorm(name="proj_norm")(x, pb.mask, train)
+        x = apply_bn("proj_norm", self.pd, x, pb.mask, train, pb)
         x = nn.gelu(x)
         skip = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj_skip")(skip_pb.feat)
-        skip = MaskedBatchNorm(name="proj_skip_norm")(skip, skip_pb.mask, train)
+        skip = apply_bn("proj_skip_norm", self.pd, skip, skip_pb.mask, train, skip_pb)
         skip = nn.gelu(skip)
         up = jnp.take(x, jnp.minimum(cluster, m - 1), axis=0)
         up = jnp.where((cluster < m)[:, None], up, 0)
@@ -291,11 +321,12 @@ class Embedding(nn.Module):
     """Reference `Embedding` (`:485-516`): SubM k5 stem + BN + GELU."""
 
     embed_channels: int
+    pd: PDCfg = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr5, train: bool) -> PointBatch:
         feat = SubMConv(self.embed_channels, 125, use_bias=False, name="stem_conv")(pb.feat, nbr5)
-        feat = MaskedBatchNorm(name="stem_norm")(feat, pb.mask, train)
+        feat = apply_bn("stem_norm", self.pd, feat, pb.mask, train, pb)
         feat = nn.gelu(feat)
         return pb.replace(feat=feat)
 
@@ -353,6 +384,16 @@ class PointTransformerV3(nn.Module):
                 return self.make_rng("shuffle")
             return None
 
+        pd = None
+        if self.pdnorm_bn or self.pdnorm_ln:
+            pd = dict(
+                bn=self.pdnorm_bn,
+                ln=self.pdnorm_ln,
+                conditions=tuple(self.pdnorm_conditions),
+                decouple=self.pdnorm_decouple,
+                adaptive=self.pdnorm_adaptive,
+            )
+
         pb = pb.serialize(orders=orders, depth=self.serialize_depth, shuffle_key=rng_or_none("shuffle"))
 
         # drop-path schedule (reference: linspace over total depths)
@@ -361,7 +402,7 @@ class PointTransformerV3(nn.Module):
 
         # stage 0 stem
         nbr5 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
-        pb = Embedding(self.enc_channels[0], name="embedding")(pb, nbr5, train)
+        pb = Embedding(self.enc_channels[0], pd=pd, name="embedding")(pb, nbr5, train)
 
         skips = []  # (skip_pb, cluster, stage_ctx)
         stage_ctx = {}
@@ -383,6 +424,7 @@ class PointTransformerV3(nn.Module):
                     stride=self.stride[s - 1],
                     reduce="max",
                     shuffle_orders=self.shuffle_orders,
+                    pd=pd,
                     name=f"enc{s}_down",
                 )(pb, train, rng_or_none("shuffle"))
                 skips.append((skip_pb, cluster, stage_ctx))
@@ -401,6 +443,7 @@ class PointTransformerV3(nn.Module):
                     pre_norm=self.pre_norm,
                     order_index=i % s_orders,
                     enable_rpe=self.enable_rpe,
+                    pd=pd,
                     name=f"enc{s}_block{i}",
                 )(pb, stage_ctx["nbr3"], stage_ctx["parts"][i % s_orders], train)
 
@@ -408,7 +451,7 @@ class PointTransformerV3(nn.Module):
             dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
             for s in reversed(range(num_stages - 1)):
                 skip_pb, cluster, skip_ctx = skips[s]
-                pb = SerializedUnpooling(out_channels=dec_channels[s], name=f"dec{s}_up")(
+                pb = SerializedUnpooling(out_channels=dec_channels[s], pd=pd, name=f"dec{s}_up")(
                     pb, skip_pb, cluster, train
                 )
                 dp_slice = dec_dp[sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])][::-1]
@@ -426,6 +469,7 @@ class PointTransformerV3(nn.Module):
                         pre_norm=self.pre_norm,
                         order_index=i % s_orders,
                         enable_rpe=self.enable_rpe,
+                        pd=pd,
                         name=f"dec{s}_block{i}",
                     )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
         return pb

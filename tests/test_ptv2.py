@@ -1,0 +1,51 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointcept_tpu.models import build_model
+from tests.test_structure import make_batch
+
+
+def test_ptv2_forward_and_grad():
+    pb = make_batch([100, 60], capacity=192, num_classes=13)
+    cfg = dict(
+        type="PT-v2m2",
+        in_channels=6,
+        num_classes=13,
+        patch_embed_depth=1,
+        patch_embed_channels=8,
+        patch_embed_groups=2,
+        patch_embed_neighbours=8,
+        enc_depths=(1, 1),
+        enc_channels=(16, 32),
+        enc_groups=(4, 8),
+        enc_neighbours=(8, 8),
+        dec_depths=(1, 1),
+        dec_channels=(8, 16),
+        dec_groups=(2, 4),
+        dec_neighbours=(8, 8),
+        grid_sizes=(0.2, 0.4),
+        pool_capacity_factors=(0.75, 0.75),
+    )
+    model = build_model(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+    out = model.apply(variables, pb, train=False)
+    assert out.feat.shape == (192, 13)
+    assert np.isfinite(np.asarray(out.feat)[np.asarray(pb.mask)]).all()
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            pb, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        logits = o.feat
+        valid = pb.segment >= 0
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.sum(jnp.where(valid, jnp.take_along_axis(lp, jnp.maximum(pb.segment, 0)[:, None], 1)[:, 0], 0)) / jnp.sum(valid)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) > len(norms) * 0.85

@@ -14,6 +14,9 @@ from pointcept_tpu.engines.launch import launch
 
 
 def main_worker(cfg):
+    from pointcept_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = default_setup(cfg)
     from pointcept_tpu.engines.test import TESTERS
 
