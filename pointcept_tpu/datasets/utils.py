@@ -146,9 +146,63 @@ def point_collate_fn(batch: List[dict], mix_prob: float = 0.0, capacity: Optiona
     """The training collate: ragged concat (+Mix3D) then static padding."""
     num_scenes = len(batch)
     merged = collate_fn(batch)
+    if "view1_offset" in merged:
+        if mix_prob > 0 and random.random() < mix_prob:
+            # Mix3D for SSL views: merge scene pairs per view (reference
+            # regroup_batch, datasets/utils.py:89)
+            for key in [k for k in merged if k.endswith("_offset")]:
+                o = merged[key]
+                merged[key] = np.concatenate([o[1:-1:2], o[-1:]])
+        if capacity is None:
+            capacity = pad_multiple
+        return pad_views_to_point_batch(merged, capacity, num_scenes=num_scenes)
     if mix_prob > 0 and random.random() < mix_prob:
         merged = mix3d(merged)
     if capacity is None:
         n_total = int(np.asarray(merged["offset"])[-1])
         capacity = max(pad_multiple, ((n_total + pad_multiple - 1) // pad_multiple) * pad_multiple)
     return pad_to_point_batch(merged, capacity, num_scenes=num_scenes)
+
+
+VIEW_SUFFIXES = ("coord", "grid_coord", "origin_coord", "color", "normal", "feat", "segment")
+
+
+def pad_views_to_point_batch(batch: dict, capacity: int, num_scenes: Optional[int] = None):
+    """Pad multi-view SSL batches (view1_*/view2_* keys from
+    ContrastiveViewsGenerator) into per-view fixed-capacity arrays."""
+    out: Dict[str, np.ndarray] = {}
+    prefixes = sorted({k.split("_")[0] for k in batch if k.endswith("_offset") and k.startswith("view")})
+    assert prefixes, "no view offsets found"
+    if num_scenes is None:
+        num_scenes = len(np.asarray(batch[f"{prefixes[0]}_offset"]))
+    for prefix in prefixes:
+        offset = np.asarray(batch[f"{prefix}_offset"])
+        n_total = int(offset[-1])
+        b_ids = offset2batch_np(offset).astype(np.int32)
+        if n_total > capacity:
+            keep = np.sort(np.random.choice(n_total, capacity, replace=False))
+        else:
+            keep = None
+
+        def _sel(a):
+            return a if keep is None else a[keep]
+
+        eff = min(n_total, capacity)
+        out[f"{prefix}_batch"] = np.full((capacity,), -1, np.int32)
+        out[f"{prefix}_batch"][:eff] = _sel(b_ids)
+        for suf in VIEW_SUFFIXES:
+            key = f"{prefix}_{suf}"
+            if key not in batch:
+                continue
+            a = _sel(np.asarray(batch[key]))
+            if suf in ("grid_coord", "segment"):
+                a = a.astype(np.int32)
+                fill = 0 if suf == "grid_coord" else -1
+                padded = np.full((capacity,) + a.shape[1:], fill, np.int32)
+            else:
+                a = a.astype(np.float32)
+                padded = np.zeros((capacity,) + a.shape[1:], np.float32)
+            padded[:eff] = a
+            out[key] = padded
+    out["num_scenes"] = num_scenes
+    return out

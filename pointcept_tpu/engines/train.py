@@ -59,6 +59,25 @@ def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int, condition: 
     )
 
 
+def make_view_inputs(arrays: Dict[str, jnp.ndarray], num_scenes: int, condition=None) -> dict:
+    """Multi-view SSL inputs: per-view PointBatch + passthrough arrays (MSC/Sonata)."""
+    data = {}
+    for prefix in ("view1", "view2"):
+        if f"{prefix}_coord" not in arrays:
+            continue
+        data[prefix] = PointBatch(
+            coord=arrays[f"{prefix}_coord"],
+            feat=arrays.get(f"{prefix}_feat"),
+            grid_coord=arrays.get(f"{prefix}_grid_coord"),
+            batch=arrays[f"{prefix}_batch"],
+            condition=condition,
+            num_scenes=num_scenes,
+        )
+    for k, v in arrays.items():
+        data.setdefault(k, v)
+    return data
+
+
 def device_collate(samples, num_devices: int, capacity_per_device: int, mix_prob: float = 0.0):
     """Split a global batch of scenes into per-device PointBatch arrays with a
     leading device axis: {key: [D, N_dev, ...]}."""
@@ -98,8 +117,11 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional
         didx = jax.lax.axis_index("data")
         key = jax.random.fold_in(key, didx)
         key = jax.random.fold_in(key, state.step)
-        ks, kd = jax.random.split(key)
-        pb = make_point_batch(arrays, num_scenes, condition)
+        ks, kd, km = jax.random.split(key, 3)
+        if "view1_coord" in arrays:
+            inputs = make_view_inputs(arrays, num_scenes, condition)
+        else:
+            inputs = make_point_batch(arrays, num_scenes, condition)
         extra = {}
         if "category" in arrays:
             extra["category"] = arrays["category"]
@@ -107,9 +129,9 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional
         def loss_fn(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                pb,
+                inputs,
                 train=True,
-                rngs={"shuffle": ks, "dropout": kd},
+                rngs={"shuffle": ks, "dropout": kd, "mask": km},
                 mutable=["batch_stats"],
                 **extra,
             )
