@@ -770,3 +770,106 @@ class ContrastiveViewsGenerator:
         for key, value in view2_dict.items():
             data_dict["view2_" + key] = value
         return data_dict
+
+
+@TRANSFORMS.register_module()
+class MultiViewGenerator:
+    """Global/local multi-view crops for Sonata-style self-distillation
+    (reference `:1106`): one major spherical view, further global views centered
+    inside it, and local views with cover-mask resampling; per-view aug then
+    concat with global_/local_ prefixes and offsets. (The Concerto 2D
+    correspondence path is handled by the image dataset variants.)"""
+
+    def __init__(
+        self,
+        global_view_num=2,
+        global_view_scale=(0.4, 1.0),
+        local_view_num=4,
+        local_view_scale=(0.1, 0.4),
+        global_shared_transform=None,
+        global_transform=None,
+        local_transform=None,
+        max_size=65536,
+        center_height_scale=(0, 1),
+        shared_global_view=False,
+        view_keys=("coord", "origin_coord", "color", "normal"),
+    ):
+        self.global_view_num = global_view_num
+        self.global_view_scale = global_view_scale
+        self.local_view_num = local_view_num
+        self.local_view_scale = local_view_scale
+        self.global_shared_transform = Compose(global_shared_transform)
+        self.global_transform = Compose(global_transform)
+        self.local_transform = Compose(local_transform)
+        self.max_size = max_size
+        self.center_height_scale = center_height_scale
+        self.shared_global_view = shared_global_view
+        self.view_keys = view_keys
+        assert "coord" in view_keys
+
+    def get_view(self, point, center, scale):
+        coord = point["coord"]
+        max_size = min(self.max_size, coord.shape[0])
+        size = max(1, int(np.random.uniform(*scale) * max_size))
+        index = np.argsort(np.sum(np.square(coord - center), axis=-1))[:size]
+        view = dict(index=index)
+        for key in point.keys():
+            if key in self.view_keys:
+                view[key] = point[key][index]
+        if "index_valid_keys" in point:
+            view["index_valid_keys"] = point["index_valid_keys"]
+        return view
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        point = self.global_shared_transform(copy.deepcopy(data_dict))
+        z_min, z_max = coord[:, 2].min(), coord[:, 2].max()
+        z_lo = z_min + (z_max - z_min) * self.center_height_scale[0]
+        z_hi = z_min + (z_max - z_min) * self.center_height_scale[1]
+        center_mask = (coord[:, 2] >= z_lo) & (coord[:, 2] <= z_hi)
+        if not center_mask.any():
+            center_mask[:] = True
+        major_center = coord[np.random.choice(np.where(center_mask)[0])]
+        major_view = self.get_view(point, major_center, self.global_view_scale)
+        major_coord = major_view["coord"]
+
+        if not self.shared_global_view:
+            global_views = [
+                self.get_view(point, major_coord[np.random.randint(major_coord.shape[0])], self.global_view_scale)
+                for _ in range(self.global_view_num - 1)
+            ]
+        else:
+            global_views = [
+                {k: (v.copy() if isinstance(v, np.ndarray) else v) for k, v in major_view.items()}
+                for _ in range(self.global_view_num - 1)
+            ]
+        global_views = [major_view] + global_views
+
+        cover_mask = np.zeros_like(major_view["index"], dtype=bool)
+        local_views = []
+        for _ in range(self.local_view_num):
+            if (~cover_mask).sum() == 0:
+                cover_mask[:] = False
+            center = major_coord[np.random.choice(np.where(~cover_mask)[0])]
+            local_view = self.get_view(data_dict, center, self.local_view_scale)
+            local_views.append(local_view)
+            cover_mask[np.isin(major_view["index"], local_view["index"])] = True
+
+        view_dict = {}
+        for view in global_views:
+            view.pop("index")
+            view = self.global_transform(view)
+            for key in self.view_keys:
+                view_dict.setdefault(f"global_{key}", []).append(view[key])
+        view_dict["global_offset"] = np.cumsum([d.shape[0] for d in view_dict["global_coord"]])
+        for view in local_views:
+            view.pop("index")
+            view = self.local_transform(view)
+            for key in self.view_keys:
+                view_dict.setdefault(f"local_{key}", []).append(view[key])
+        view_dict["local_offset"] = np.cumsum([d.shape[0] for d in view_dict["local_coord"]])
+        for key in view_dict:
+            if "offset" not in key:
+                view_dict[key] = np.concatenate(view_dict[key], axis=0)
+        data_dict.update(view_dict)
+        return data_dict

@@ -146,7 +146,7 @@ def point_collate_fn(batch: List[dict], mix_prob: float = 0.0, capacity: Optiona
     """The training collate: ragged concat (+Mix3D) then static padding."""
     num_scenes = len(batch)
     merged = collate_fn(batch)
-    if "view1_offset" in merged:
+    if any(k.endswith("_offset") and k != "offset" for k in merged):
         if mix_prob > 0 and random.random() < mix_prob:
             # Mix3D for SSL views: merge scene pairs per view (reference
             # regroup_batch, datasets/utils.py:89)
@@ -171,7 +171,7 @@ def pad_views_to_point_batch(batch: dict, capacity: int, num_scenes: Optional[in
     """Pad multi-view SSL batches (view1_*/view2_* keys from
     ContrastiveViewsGenerator) into per-view fixed-capacity arrays."""
     out: Dict[str, np.ndarray] = {}
-    prefixes = sorted({k.split("_")[0] for k in batch if k.endswith("_offset") and k.startswith("view")})
+    prefixes = sorted({k[: -len("_offset")] for k in batch if k.endswith("_offset") and k != "offset"})
     assert prefixes, "no view offsets found"
     if num_scenes is None:
         num_scenes = len(np.asarray(batch[f"{prefixes[0]}_offset"]))

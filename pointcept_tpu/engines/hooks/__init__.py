@@ -8,5 +8,6 @@ from .misc import (
     GarbageHandler,
     PreciseEvaluator,
     RuntimeProfiler,
+    SonataHook,
 )
 from .evaluator import SemSegEvaluator, ClsEvaluator

@@ -250,3 +250,50 @@ class RuntimeProfiler(HookBase):
             self.trainer.logger.info("Profiler trace complete.")
             if self.interrupt:
                 sys.exit(0)
+
+
+@HOOKS.register_module()
+class SonataHook(HookBase):
+    """Schedules SSL hyperparameters (mask size/ratio, teacher temp, EMA
+    momentum) per step and feeds them into the train step.
+
+    Reference mechanism: `ModelHook` routes hook events into the model
+    (`engines/hooks/default.py:40`), and Sonata schedules in before_step
+    (`sonata_v1m1_base.py:187-256`). With a functional train step the values
+    travel as traced scalars instead.
+    """
+
+    def before_train(self):
+        from pointcept_tpu.utils.scheduler import CosineScheduler
+
+        model = self.trainer.model
+        total_steps = len(self.trainer.train_loader) * self.trainer.max_epoch
+        curr = self.trainer.start_epoch * len(self.trainer.train_loader)
+
+        def sched(start, base, warmup_ratio=0.0, final=None):
+            s = CosineScheduler(
+                base_value=base,
+                final_value=base if final is None else final,
+                total_steps=total_steps,
+                warmup_steps=int(total_steps * warmup_ratio),
+                start_warmup_value=start,
+            )
+            s.iter = curr
+            return s
+
+        self._mask_size = sched(model.mask_size_start, model.mask_size_base, model.mask_size_warmup_ratio)
+        self._mask_ratio = sched(model.mask_ratio_start, model.mask_ratio_base, model.mask_ratio_warmup_ratio)
+        self._teacher_temp = sched(model.teacher_temp_start, model.teacher_temp_base, model.teacher_temp_warmup_ratio)
+        self._momentum = sched(model.momentum_base, model.momentum_base, 0.0, final=model.momentum_final)
+
+    def before_step(self):
+        hyper = dict(
+            mask_size=self._mask_size.step(),
+            mask_ratio=self._mask_ratio.step(),
+            teacher_temp=self._teacher_temp.step(),
+            momentum=self._momentum.step(),
+        )
+        self.trainer.comm_info["model_hyper"] = hyper
+        if self.trainer.storage is not None:
+            for k, v in hyper.items():
+                self.trainer.storage.put_scalar(f"params/{k}", float(v), smoothing_hint=False)

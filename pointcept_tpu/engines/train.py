@@ -52,6 +52,7 @@ def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int, condition: 
         feat=arrays.get("feat"),
         grid_coord=arrays.get("grid_coord"),
         batch=arrays["batch"],
+        origin_coord=arrays.get("origin_coord"),
         segment=arrays.get("segment"),
         instance=arrays.get("instance"),
         condition=condition,
@@ -60,9 +61,13 @@ def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int, condition: 
 
 
 def make_view_inputs(arrays: Dict[str, jnp.ndarray], num_scenes: int, condition=None) -> dict:
-    """Multi-view SSL inputs: per-view PointBatch + passthrough arrays (MSC/Sonata)."""
+    """Multi-view SSL inputs: per-view PointBatch + passthrough arrays (MSC/Sonata).
+
+    PointBatch.num_scenes is set to the scene count per device; SSL models with
+    multiple views per scene rescale it by their view counts.
+    """
     data = {}
-    for prefix in ("view1", "view2"):
+    for prefix in ("view1", "view2", "global", "local"):
         if f"{prefix}_coord" not in arrays:
             continue
         data[prefix] = PointBatch(
@@ -70,6 +75,7 @@ def make_view_inputs(arrays: Dict[str, jnp.ndarray], num_scenes: int, condition=
             feat=arrays.get(f"{prefix}_feat"),
             grid_coord=arrays.get(f"{prefix}_grid_coord"),
             batch=arrays[f"{prefix}_batch"],
+            origin_coord=arrays.get(f"{prefix}_origin_coord"),
             condition=condition,
             num_scenes=num_scenes,
         )
@@ -118,13 +124,19 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional
         key = jax.random.fold_in(key, didx)
         key = jax.random.fold_in(key, state.step)
         ks, kd, km = jax.random.split(key, 3)
-        if "view1_coord" in arrays:
+        hyper = {k[len("hyper_"):]: v[0] for k, v in arrays.items() if k.startswith("hyper_")}
+        arrays = {k: v for k, v in arrays.items() if not k.startswith("hyper_")}
+        if "view1_coord" in arrays or "global_coord" in arrays:
             inputs = make_view_inputs(arrays, num_scenes, condition)
         else:
             inputs = make_point_batch(arrays, num_scenes, condition)
         extra = {}
         if "category" in arrays:
             extra["category"] = arrays["category"]
+
+        ema_pairs = getattr(model, "ema_pairs", None)
+        if ema_pairs is not None and hyper:
+            extra["hyper"] = hyper
 
         def loss_fn(params):
             out, updates = model.apply(
@@ -143,6 +155,15 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional
         new_bs = jax.lax.pmean(new_bs, "data")
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if ema_pairs is not None:
+            # teacher EMA with the post-update student params (reference
+            # Sonata.after_step, sonata_v1m1_base.py:258-265)
+            m = hyper.get("momentum", jnp.asarray(0.996))
+            new_params = dict(new_params)
+            for tk, sk in ema_pairs.items():
+                new_params[tk] = jax.tree_util.tree_map(
+                    lambda t, s: m * t + (1 - m) * s, new_params[tk], new_params[sk]
+                )
         new_state = TrainState(
             step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )
@@ -329,24 +350,41 @@ class Trainer(TrainerBase):
 
     def init_state(self):
         batch = self._example_batch()
-        pb = make_point_batch(
-            {k: jnp.asarray(v[0]) for k, v in batch.items() if k != "num_scenes"}, batch["num_scenes"]
-        )
+        arrays = {k: jnp.asarray(v[0]) for k, v in batch.items() if k not in ("num_scenes", "condition")}
+        condition = batch.get("condition")
+        if "view1_coord" in arrays or "global_coord" in arrays:
+            inputs = make_view_inputs(arrays, batch["num_scenes"], condition)
+        else:
+            inputs = make_point_batch(arrays, batch["num_scenes"], condition)
         rngs = {
             "params": jax.random.PRNGKey(self.cfg.seed),
             "shuffle": jax.random.PRNGKey(self.cfg.seed + 1),
             "dropout": jax.random.PRNGKey(self.cfg.seed + 2),
+            "mask": jax.random.PRNGKey(self.cfg.seed + 3),
         }
-        variables = jax.eval_shape(partial(self.model.init, train=False), rngs, pb)
-        # real init (eval_shape above only for logging param count without compute)
-        variables = self.model.init(rngs, pb, train=False)
+        variables = self.model.init(rngs, inputs, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
         self.logger.info(f"Num params: {n_params}")
+        ema_pairs = getattr(self.model, "ema_pairs", None)
+        if ema_pairs is not None:
+            # copy student weights into the teacher (reference `:182-184`)
+            params = dict(params)
+            for tk, sk in ema_pairs.items():
+                params[tk] = jax.tree_util.tree_map(lambda x: x, params[sk])
         tx = build_optimizer(
             dict(self.cfg.optimizer), params, self.scheduler, self.cfg.get("param_dicts")
         )
+        if ema_pairs is not None:
+            # teacher params never receive optimizer updates (EMA only)
+            def not_teacher(params_tree):
+                return {
+                    k: jax.tree_util.tree_map(lambda _: k not in ema_pairs, v)
+                    for k, v in params_tree.items()
+                }
+
+            tx = optax.masked(tx, not_teacher)
         if self.cfg.get("clip_grad") is not None:
             tx = optax.chain(optax.clip_by_global_norm(self.cfg.clip_grad), tx)
         self.tx = tx
@@ -374,6 +412,8 @@ class Trainer(TrainerBase):
         arrays = {
             k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "condition")
         }
+        for name, value in self.comm_info.get("model_hyper", {}).items():
+            arrays[f"hyper_{name}"] = jnp.full((self.num_devices, 1), value, jnp.float32)
         steps = self.train_step
         if condition not in steps:
             steps[condition] = self._build_train_step(condition)

@@ -107,6 +107,8 @@ class DefaultClassifier(nn.Module):
 
     def __call__(self, pb: PointBatch, train: bool = False, category: Optional[jnp.ndarray] = None):
         out = self.backbone_module(pb, train)
+        if isinstance(out, tuple):  # enc-mode backbones return (pb, skips)
+            out = out[0]
         feat = out.feat if isinstance(out, PointBatch) else out
         mask = out.mask if isinstance(out, PointBatch) else pb.mask
         batch = out.batch if isinstance(out, PointBatch) else pb.batch

@@ -250,6 +250,11 @@ class SerializedPooling(nn.Module):
         proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
         feat = segment_reduce(proj, cluster_of_point, m, reduce=self.reduce)
         coord = segment_reduce(pb.coord, cluster_of_point, m, reduce="mean")
+        origin_coord = (
+            segment_reduce(pb.origin_coord, cluster_of_point, m, reduce="mean")
+            if pb.origin_coord is not None
+            else None
+        )
 
         # head-point attributes
         head_target = jnp.where(head & (cluster_sorted < m), cluster_sorted, m)
@@ -282,6 +287,7 @@ class SerializedPooling(nn.Module):
             feat=feat,
             grid_coord=grid,
             batch=batch,
+            origin_coord=origin_coord,
             segment=seg,
             condition=pb.condition,
             context=pb.context,
@@ -372,6 +378,7 @@ class PointTransformerV3(nn.Module):
     pdnorm_conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
     serialize_depth: int = 12
     pool_capacity_factors: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
+    grid_size: float = 0.02  # used only when the input lacks grid_coord
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False) -> PointBatch:
@@ -394,6 +401,7 @@ class PointTransformerV3(nn.Module):
                 adaptive=self.pdnorm_adaptive,
             )
 
+        pb = pb.with_grid_coord(self.grid_size)
         pb = pb.serialize(orders=orders, depth=self.serialize_depth, shuffle_key=rng_or_none("shuffle"))
 
         # drop-path schedule (reference: linspace over total depths)
@@ -472,4 +480,7 @@ class PointTransformerV3(nn.Module):
                         pd=pd,
                         name=f"dec{s}_block{i}",
                     )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
-        return pb
+            return pb
+        # enc_mode: expose the skip chain for SSL up_cast (reference enc_mode
+        # leaves pooling_parent/pooling_inverse attached)
+        return pb, skips

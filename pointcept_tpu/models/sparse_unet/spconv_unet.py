@@ -82,6 +82,7 @@ class SpUNetBase(nn.Module):
     enc_mode: bool = False
     serialize_depth: int = 12
     pool_capacity_factor: float = 0.5
+    grid_size: float = 0.02  # used only when the input lacks grid_coord
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False):
@@ -89,6 +90,7 @@ class SpUNetBase(nn.Module):
         num_stages = len(self.layers) // 2
 
         # level-0 structures
+        pb = pb.with_grid_coord(self.grid_size)
         grid = jnp.clip(pb.grid_coord, 0, (1 << self.serialize_depth) - 1)
         kb = pb.key_batch()
         mask = pb.mask

@@ -51,6 +51,7 @@ class PointBatch:
     feat: jnp.ndarray  # [N, C] float32
     grid_coord: jnp.ndarray  # [N, 3] int32 voxel coords (>= 0)
     batch: jnp.ndarray  # [N] int32 scene id, -1 = padding
+    origin_coord: Optional[jnp.ndarray] = None  # [N, 3] pre-augmentation coords (SSL)
     # optional per-point labels (may be None)
     segment: Optional[jnp.ndarray] = None  # [N] int32, -1 = ignore
     instance: Optional[jnp.ndarray] = None  # [N] int32
@@ -84,6 +85,20 @@ class PointBatch:
         return jax.ops.segment_sum(
             jnp.ones_like(b), b, num_segments=self.num_scenes + 1
         )[: self.num_scenes].astype(jnp.int32)
+
+    def with_grid_coord(self, grid_size: float) -> "PointBatch":
+        """Derive voxel grid coords from metric coords when absent (reference
+        `Point.serialization`, `structure.py:56-63`): per-scene min-shifted
+        floor(coord / grid_size)."""
+        if self.grid_coord is not None:
+            return self
+        b = jnp.clip(self.batch, 0, self.num_scenes - 1)
+        big = jnp.float32(1e9)
+        coord = jnp.where(self.mask[:, None], self.coord, big)
+        mins = jax.ops.segment_min(coord, b, num_segments=self.num_scenes)
+        mins = jnp.where(jnp.isfinite(mins), mins, 0.0)
+        grid = jnp.floor((self.coord - mins[b]) / grid_size).astype(jnp.int32)
+        return self.replace(grid_coord=jnp.maximum(grid, 0))
 
     def key_batch(self) -> jnp.ndarray:
         """Batch ids with padding mapped to the sort sentinel (sorts last)."""

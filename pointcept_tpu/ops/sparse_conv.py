@@ -183,23 +183,35 @@ def _build_subm_neighbor_map_sortmerge(grid_coord, key_batch, mask, depth, kerne
         qk2_list.append(k2)
     q = n * len(pos_ids)
 
-    all_k1 = jnp.concatenate([tk1] + qk1_list)
-    all_k2 = jnp.concatenate([tk2] + qk2_list)
-    payload = jnp.arange(n + q, dtype=jnp.int32)
+    # sort the table alone (cheap): table payloads in the big sort are then
+    # RANKS, which are monotone in sorted order, so "latest table entry" is a
+    # single cummax with NO key gathers (gathers run at ~0.5 GB/s on TPU —
+    # they, not the sort, dominate this op)
+    t_rank_sorted = jax.lax.sort((tk1, tk2, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=True)
+    stk1, stk2, table_pid_by_rank = t_rank_sorted
+
+    all_k1 = jnp.concatenate([stk1] + qk1_list)
+    all_k2 = jnp.concatenate([stk2] + qk2_list)
+    payload = jnp.arange(n + q, dtype=jnp.int32)  # table rows: rank (monotone)
     sk1, sk2, sp = jax.lax.sort((all_k1, all_k2, payload), num_keys=2, is_stable=True)
 
     pos = jnp.arange(n + q, dtype=jnp.int32)
     is_table = (sk2 & 1) == 0
+    last_rank = jax.lax.cummax(jnp.where(is_table, sp, -1))  # sp of table rows = rank
+    # key-run starts: a query matches iff its run contains a table entry,
+    # i.e. the last table entry is at/after the current run start
     last_table_pos = jax.lax.cummax(jnp.where(is_table, pos, -1))
-    lt = jnp.maximum(last_table_pos, 0)
+    new_run = jnp.concatenate(
+        [jnp.array([True]), (sk1[1:] != sk1[:-1]) | ((sk2[1:] >> 1) != (sk2[:-1] >> 1))]
+    )
+    run_start = jax.lax.cummax(jnp.where(new_run, pos, -1))
     matched = (
-        (last_table_pos >= 0)
-        & (sk1[lt] == sk1)
-        & ((sk2[lt] >> 1) == (sk2 >> 1))
+        (last_table_pos >= run_start)
+        & (last_rank >= 0)
         & (~is_table)
         & (sk1 < (PAD_TAG << 18))  # real batches only
     )
-    match_pid = jnp.where(matched, sp[lt], -1)
+    match_pid = jnp.where(matched, table_pid_by_rank[jnp.clip(last_rank, 0, n - 1)], -1)
 
     # flat neighbor table [k_total * n]; column-major per offset
     qflat = sp - n  # flat (offset_pos, point) id for query rows
