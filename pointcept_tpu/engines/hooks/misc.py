@@ -297,3 +297,65 @@ class SonataHook(HookBase):
         if self.trainer.storage is not None:
             for k, v in hyper.items():
                 self.trainer.storage.put_scalar(f"params/{k}", float(v), smoothing_hint=False)
+
+
+@HOOKS.register_module()
+class WeightDecaySchedular(HookBase):
+    """Cosine weight-decay schedule (reference `hooks/misc.py:500`).
+
+    Implemented by swapping the optimizer's decayed-weights coefficient is not
+    possible on a compiled optax chain, so the hook recompiles the train step
+    when wd changes by more than `rebuild_tol` (epoch granularity in practice).
+    """
+
+    def __init__(self, base_value=0.05, final_value=0.05, rebuild_tol=1e-4):
+        self.base_value = base_value
+        self.final_value = final_value
+        self.rebuild_tol = rebuild_tol
+        self._applied = None
+
+    def before_epoch(self):
+        import numpy as np
+
+        total = self.trainer.max_epoch
+        t = self.trainer.epoch / max(total, 1)
+        wd = self.final_value + 0.5 * (self.base_value - self.final_value) * (1 + np.cos(np.pi * t))
+        if self._applied is None or abs(wd - self._applied) > self.rebuild_tol:
+            self._applied = wd
+            cfg = dict(self.trainer.cfg.optimizer)
+            cfg["weight_decay"] = float(wd)
+            self.trainer.cfg.optimizer = cfg
+            # rebuild optimizer + train step with the new wd, preserving opt state
+            from pointcept_tpu.utils.optimizer import build_optimizer
+
+            self.trainer.tx = build_optimizer(
+                cfg, self.trainer.state.params, self.trainer.scheduler, self.trainer.cfg.get("param_dicts")
+            )
+            self.trainer._train_step_fn = None
+            self.trainer.logger.info(f"WeightDecaySchedular: wd -> {wd:.5f}")
+
+
+@HOOKS.register_module()
+class DataCacheOperator(HookBase):
+    """Pre-populate the /dev/shm dataset cache (reference `hooks/misc.py:313`)."""
+
+    def __init__(self, data_root=None, split=None):
+        self.data_root = data_root
+        self.split = split
+
+    def before_train(self):
+        from pointcept_tpu.utils import cache as shm
+
+        self.trainer.logger.info("=> Preloading dataset into shared memory ...")
+        dataset = self.trainer.train_loader.dataset
+        if not hasattr(dataset, "get_data"):
+            return
+        count = 0
+        for i in range(len(getattr(dataset, "data_list", []))):
+            data = dataset.get_data(i)
+            arrays = {k: v for k, v in data.items() if isinstance(v, __import__("numpy").ndarray)}
+            name = f"pointcept-{dataset.__class__.__name__}-{dataset.get_data_name(i)}"
+            if not shm.exists(name):
+                shm.shared_dict(name, arrays)
+                count += 1
+        self.trainer.logger.info(f"Cached {count} scenes to /dev/shm")

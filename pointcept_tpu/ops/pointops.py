@@ -71,7 +71,9 @@ def knn_query(
     # MXU trick cancels catastrophically in f32 (self-distance ~1e-4, not 0),
     # which breaks inverse-distance interpolation weights downstream
     exact = jnp.sum(jnp.square(base_coord[best_i] - query_coord[:, None, :]), axis=-1)
-    return best_i, jnp.sqrt(jnp.where(found, exact, BIG))
+    # floor before sqrt: d/dx sqrt(x) at x=0 is inf and poisons backward passes
+    # even when downstream consumers have zero cotangent (inf * 0 = NaN)
+    return best_i, jnp.sqrt(jnp.maximum(jnp.where(found, exact, BIG), 1e-12))
 
 
 def ball_query(
@@ -166,3 +168,26 @@ def fps_numpy(coord: np.ndarray, num_samples: int, seed: int = 0) -> np.ndarray:
         dists = np.minimum(dists, d)
         selected[i] = np.argmax(dists)
     return selected
+
+
+def fps_downsample(coord, batch, mask, num_scenes: int, out_capacity: int):
+    """Batched FPS: each scene gets out_capacity // num_scenes slots.
+
+    Returns (idx [M] int32 global point indices, new_batch [M] (-1 for slots
+    beyond a scene's real sample count)). TPU equivalent of the reference's
+    per-scene `n_o = count // stride` FPS (`point_transformer_seg.py:101`);
+    here the per-scene sample count is the static slot count capped by the
+    scene's valid points.
+    """
+    b = num_scenes
+    per = out_capacity // b
+    scene_masks = jnp.stack([mask & (batch == i) for i in range(b)])  # [B, N]
+    idx = jax.vmap(lambda m: farthest_point_sampling(coord, m, per))(scene_masks)  # [B, per]
+    counts = jnp.sum(scene_masks, axis=1)  # [B]
+    slot = jnp.tile(jnp.arange(per, dtype=jnp.int32)[None], (b, 1))
+    new_batch = jnp.where(
+        (slot < jnp.maximum(counts, 1)[:, None]) & (counts[:, None] > 0),
+        jnp.arange(b, dtype=jnp.int32)[:, None],
+        -1,
+    )
+    return idx.reshape(-1), new_batch.reshape(-1)

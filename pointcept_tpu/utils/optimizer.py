@@ -41,6 +41,13 @@ def adam(learning_rate, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
     )
 
 
+@OPTIMIZERS.register_module(name="Muon_KIMI")
+def muon_kimi(learning_rate, momentum=0.95, nesterov=True, ns_steps=5, weight_decay=0.0, adamw_lr_ratio=1.0, betas=(0.9, 0.999), eps=1e-8):
+    from pointcept_tpu.utils.muon import muon
+
+    return muon(learning_rate, momentum, nesterov, ns_steps, weight_decay, adamw_lr_ratio, betas, eps)
+
+
 @OPTIMIZERS.register_module(name="AdamW")
 def adamw(learning_rate, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01):
     return optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
