@@ -130,6 +130,10 @@ def pad_to_point_batch(
         s = _sel(np.asarray(batch["instance"]).reshape(-1).astype(np.int32))
         out["instance"] = np.full((n,), -1, np.int32)
         out["instance"][:eff] = s
+    if "instance_centroid" in batch:
+        c = _sel(np.asarray(batch["instance_centroid"], np.float32))
+        out["instance_centroid"] = np.full((n, 3), -1.0, np.float32)
+        out["instance_centroid"][:eff] = c
     if "condition" in batch:
         out["condition"] = batch["condition"]
     for key in ("category",):

@@ -284,3 +284,98 @@ class ClsTester(TesterBase):
         logger.info("Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}".format(mIoU, mAcc, allAcc))
         logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         return dict(allAcc=float(allAcc))
+
+
+@TESTERS.register_module()
+class InsSegTester(TesterBase):
+    """Instance segmentation tester (reference `engines/test.py:1159`):
+    per-scene forward -> host BFS clustering -> ScanNet-protocol mAP."""
+
+    def __init__(self, cfg, model=None, state=None, verbose=False, segment_ignore_index=(-1, 0, 1)):
+        super().__init__(cfg, model=model, state=state, verbose=verbose)
+        self.segment_ignore_index = segment_ignore_index
+        self.valid_class_names = None
+
+    @property
+    def infer(self):
+        if self._infer_fn is None:
+            model = self.model
+
+            @jax.jit
+            def infer_fn(state, arrays):
+                pb = make_point_batch(arrays, 1)
+                out = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, pb, train=False
+                )
+                return (
+                    jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1),
+                    out["bias_pred"],
+                )
+
+            self._infer_fn = infer_fn
+        return self._infer_fn
+
+    def test(self):
+        from pointcept_tpu.utils.instance_eval import aggregate_ap, evaluate_scene
+
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = self.cfg.data.num_classes - sum(
+            1 for i in self.segment_ignore_index if i >= 0
+        )
+        # the model wrapper (PG) exposes the host-side proposal step
+        pg = self.model
+
+        all_records = {c: [] for c in range(num_classes)}
+        all_gt_counts = {c: 0 for c in range(num_classes)}
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data_dict = self.test_dataset[idx]
+            if "fragment_list" in data_dict:
+                fragment = data_dict["fragment_list"][0]
+                gt_segment = data_dict["segment"]
+                gt_instance = data_dict.get("instance", np.full_like(gt_segment, -1))
+            else:
+                fragment = data_dict
+                gt_segment = fragment.get("segment")
+                gt_instance = fragment.get("instance", np.full_like(gt_segment, -1))
+            n_frag = fragment["coord"].shape[0]
+            batch = pad_to_point_batch(collate_fn([dict(fragment)]), self.test_capacity, num_scenes=1)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+            seg_prob, bias = self.infer(self.state, arrays)
+            seg_prob = np.asarray(seg_prob)[:n_frag]
+            bias = np.asarray(bias)[:n_frag]
+            masks, classes, scores = pg.propose_instances(
+                fragment["coord"], bias, seg_prob, np.zeros(n_frag, np.int32), np.ones(n_frag, bool)
+            )
+            recs, counts = evaluate_scene(
+                masks, classes, scores,
+                np.asarray(gt_instance)[:n_frag],
+                np.asarray(gt_segment)[:n_frag],
+                num_classes,
+                self.segment_ignore_index,
+            )
+            for c, lst in recs.items():
+                for score, ious in lst:
+                    all_records[c].append((score, ious, pos))
+            for c, cnt in counts.items():
+                all_gt_counts[c] += cnt
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] {data_dict.get('name', idx)} proposals {len(scores)}")
+
+        comm.synchronize()
+        gathered = comm.all_gather((all_records, all_gt_counts))
+        merged_records = {c: [] for c in range(num_classes)}
+        merged_counts = {c: 0 for c in range(num_classes)}
+        for recs, counts in gathered:
+            for c in recs:
+                merged_records[c].extend(recs[c])
+            for c in counts:
+                merged_counts[c] += counts[c]
+        result = aggregate_ap(merged_records, merged_counts, num_classes)
+        logger.info(
+            "Val result: mAP/AP50/AP25 {:.4f}/{:.4f}/{:.4f}".format(
+                result["mAP"], result["AP50"], result["AP25"]
+            )
+        )
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return result

@@ -55,6 +55,7 @@ def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int, condition: 
         origin_coord=arrays.get("origin_coord"),
         segment=arrays.get("segment"),
         instance=arrays.get("instance"),
+        instance_centroid=arrays.get("instance_centroid"),
         condition=condition,
         num_scenes=num_scenes,
     )

@@ -55,6 +55,7 @@ class PointBatch:
     # optional per-point labels (may be None)
     segment: Optional[jnp.ndarray] = None  # [N] int32, -1 = ignore
     instance: Optional[jnp.ndarray] = None  # [N] int32
+    instance_centroid: Optional[jnp.ndarray] = None  # [N, 3] per-point instance centroid
     # optional conditioning (PPT multi-dataset)
     condition: Optional[str] = struct.field(pytree_node=False, default=None)
     context: Optional[jnp.ndarray] = None
