@@ -379,3 +379,59 @@ class InsSegTester(TesterBase):
         )
         logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         return result
+
+
+@TESTERS.register_module()
+class ClsVotingTester(TesterBase):
+    """TTA voting classification tester (reference `engines/test.py:724`):
+    average logits over `num_repeat` augmented passes per sample."""
+
+    def __init__(self, cfg, model=None, state=None, verbose=False, num_repeat=100, metric="allAcc"):
+        super().__init__(cfg, model=model, state=state, verbose=verbose)
+        self.num_repeat = num_repeat
+        self.metric = metric
+
+    def test(self):
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = self.cfg.data.num_classes
+        model = self.model
+
+        @jax.jit
+        def infer_cls(state, arrays, category):
+            pb = make_point_batch(arrays, 1)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pb, train=False, category=category,
+            )
+            return jax.nn.softmax(out["cls_logits"].astype(jnp.float32), axis=-1)
+
+        intersection_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            record = np.zeros(num_classes, np.float64)
+            category = None
+            for _ in range(self.num_repeat):
+                data = self.test_dataset[idx]  # re-runs random TTA transforms
+                category = int(np.asarray(data["category"]).reshape(-1)[0])
+                batch = pad_to_point_batch(collate_fn([data]), self.test_capacity, num_scenes=1)
+                arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
+                record += np.asarray(infer_cls(self.state, arrays, jnp.asarray([category])))[0]
+            pred = int(record.argmax())
+            i, u, t = intersection_and_union(np.array([pred]), np.array([category]), num_classes)
+            intersection_sum += i
+            union_sum += u
+            target_sum += t
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] pred {pred} gt {category}")
+        comm.synchronize()
+        recs = comm.all_gather((intersection_sum, union_sum, target_sum))
+        intersection = np.sum([r[0] for r in recs], axis=0)
+        union = np.sum([r[1] for r in recs], axis=0)
+        target = np.sum([r[2] for r in recs], axis=0)
+        mAcc = float(np.mean(intersection / (target + 1e-10)))
+        allAcc = float(intersection.sum() / (target.sum() + 1e-10))
+        logger.info("Val result: mAcc/allAcc {:.4f}/{:.4f}".format(mAcc, allAcc))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(allAcc=allAcc, mAcc=mAcc)

@@ -10,4 +10,6 @@ from . import masked_scene_contrast  # noqa: F401
 from . import sonata  # noqa: F401
 from . import point_transformer  # noqa: F401
 from . import point_group  # noqa: F401
+from . import context_aware_classifier  # noqa: F401
+from . import oacnns  # noqa: F401
 from . import losses  # noqa: F401

@@ -1,0 +1,159 @@
+import numpy as np
+import jax
+
+from pointcept_tpu.models import build_model
+from pointcept_tpu.models.utils.convert import convert_state_dict
+from tests.test_structure import make_batch
+from tests.test_ptv3 import small_ptv3_cfg
+
+
+def _torch_linear(rng, fin, fout, bias=True, prefix="", d=None):
+    d[f"{prefix}.weight"] = rng.randn(fout, fin).astype(np.float32)
+    if bias:
+        d[f"{prefix}.bias"] = rng.randn(fout).astype(np.float32)
+
+
+def _torch_bn(rng, c, prefix, d):
+    d[f"{prefix}.weight"] = rng.rand(c).astype(np.float32) + 0.5
+    d[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
+    d[f"{prefix}.running_mean"] = rng.randn(c).astype(np.float32)
+    d[f"{prefix}.running_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+
+def _torch_ln(rng, c, prefix, d):
+    d[f"{prefix}.weight"] = rng.rand(c).astype(np.float32) + 0.5
+    d[f"{prefix}.bias"] = rng.randn(c).astype(np.float32)
+
+
+def test_convert_ptv3_structure_and_values():
+    """Build a synthetic torch-style state_dict following the REFERENCE's
+    module naming (point_transformer_v3m1_base.py) and check every converted
+    leaf grafts onto our PTv3 param tree with matching shapes."""
+    rng = np.random.RandomState(0)
+    cfg = small_ptv3_cfg()
+    pb = make_batch([50], capacity=64, num_classes=13)
+    model = build_model(dict(type="DefaultSegmentorV2", num_classes=13, backbone_out_channels=16,
+                             backbone=cfg, criteria=[dict(type="CrossEntropyLoss", ignore_index=-1)]))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+
+    sd = {}
+    C = dict(enc=(16, 32, 64), dec=(16, 32), heads=dict())
+    # embedding
+    sd["backbone.embedding.stem.conv.weight"] = rng.randn(5, 5, 5, 6, 16).astype(np.float32)
+    _torch_bn(rng, 16, "backbone.embedding.stem.norm", sd)
+
+    def torch_block(prefix, c, heads):
+        sd[f"{prefix}.cpe.0.weight"] = rng.randn(3, 3, 3, c, c).astype(np.float32)
+        sd[f"{prefix}.cpe.0.bias"] = rng.randn(c).astype(np.float32)
+        _torch_linear(rng, c, c, True, f"{prefix}.cpe.1", sd)
+        _torch_ln(rng, c, f"{prefix}.cpe.2", sd)
+        _torch_ln(rng, c, f"{prefix}.norm1.0", sd)
+        _torch_ln(rng, c, f"{prefix}.norm2.0", sd)
+        _torch_linear(rng, c, 3 * c, True, f"{prefix}.attn.qkv", sd)
+        _torch_linear(rng, c, c, True, f"{prefix}.attn.proj", sd)
+        _torch_linear(rng, c, 2 * c, True, f"{prefix}.mlp.0.fc1", sd)
+        _torch_linear(rng, 2 * c, c, True, f"{prefix}.mlp.0.fc2", sd)
+
+    for s, c in enumerate(C["enc"]):
+        if s > 0:
+            _torch_linear(rng, C["enc"][s - 1], c, True, f"backbone.enc{s}.down.proj", sd)
+            _torch_bn(rng, c, f"backbone.enc{s}.down.norm.0", sd)
+        torch_block(f"backbone.enc{s}.block0", c, None)
+    dec_channels = list(C["dec"]) + [C["enc"][-1]]
+    for s in (1, 0):
+        _torch_linear(rng, dec_channels[s + 1], dec_channels[s], True, f"backbone.dec{s}.up.proj.0", sd)
+        _torch_bn(rng, dec_channels[s], f"backbone.dec{s}.up.proj.1", sd)
+        _torch_linear(rng, C["enc"][s], dec_channels[s], True, f"backbone.dec{s}.up.proj_skip.0", sd)
+        _torch_bn(rng, dec_channels[s], f"backbone.dec{s}.up.proj_skip.1", sd)
+        torch_block(f"backbone.dec{s}.block0", dec_channels[s], None)
+    _torch_linear(rng, 16, 13, True, "seg_head", sd)
+
+    params, stats, unmatched = convert_state_dict(sd, "PT-v3m1")
+    assert unmatched == [], unmatched
+
+    # every converted leaf must exist in our tree with the same shape
+    def check(src, dst, path=""):
+        count = 0
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k} in target tree"
+            if isinstance(v, dict):
+                count += check(v, dst[k], f"{path}/{k}")
+            else:
+                assert np.asarray(dst[k]).shape == v.shape, f"{path}/{k}: {np.asarray(dst[k]).shape} vs {v.shape}"
+                count += 1
+        return count
+
+    n1 = check(params, variables["params"])
+    n2 = check(stats, variables["batch_stats"])
+    assert n1 > 50 and n2 > 5
+    # linear transpose correctness
+    np.testing.assert_allclose(
+        params["backbone_module"]["enc0_block0"]["attn"]["qkv"]["kernel"],
+        sd["backbone.enc0.block0.attn.qkv.weight"].T,
+    )
+    # conv reshaped to [k^3, in, out]
+    assert params["backbone_module"]["embedding"]["stem_conv"]["weight"].shape == (125, 6, 16)
+
+
+def test_convert_spunet_structure():
+    rng = np.random.RandomState(1)
+    ch = (8, 16, 32, 64, 64, 32, 24, 24)
+    layers = (1,) * 8
+    pb = make_batch([50], capacity=64, num_classes=13)
+    model = build_model(dict(
+        type="DefaultSegmentor",
+        num_classes=13,
+        backbone=dict(
+            type="SpUNet-v1m1", in_channels=6, num_classes=13, base_channels=8,
+            channels=ch, layers=layers, serialize_depth=8, pool_capacity_factor=0.75,
+        ),
+        criteria=[dict(type="CrossEntropyLoss", ignore_index=-1)],
+    ))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+
+    sd = {}
+    sd["conv_input.0.weight"] = rng.randn(5, 5, 5, 6, 8).astype(np.float32)
+    _torch_bn(rng, 8, "conv_input.1", sd)
+
+    def torch_basic(prefix, cin, c):
+        sd[f"{prefix}.conv1.weight"] = rng.randn(3, 3, 3, cin, c).astype(np.float32)
+        _torch_bn(rng, c, f"{prefix}.bn1", sd)
+        sd[f"{prefix}.conv2.weight"] = rng.randn(3, 3, 3, c, c).astype(np.float32)
+        _torch_bn(rng, c, f"{prefix}.bn2", sd)
+        if cin != c:
+            sd[f"{prefix}.proj.0.weight"] = rng.randn(1, 1, 1, cin, c).astype(np.float32)
+            _torch_bn(rng, c, f"{prefix}.proj.1", sd)
+
+    enc_in = 8
+    for s in range(4):
+        sd[f"down.{s}.0.weight"] = rng.randn(2, 2, 2, enc_in, ch[s]).astype(np.float32)
+        _torch_bn(rng, ch[s], f"down.{s}.1", sd)
+        torch_basic(f"enc.{s}.block0", ch[s], ch[s])
+        enc_in = ch[s]
+    dec_outs = {3: ch[4], 2: ch[5], 1: ch[6], 0: ch[7]}
+    ups_in = {3: ch[3], 2: ch[4], 1: ch[5], 0: ch[6]}
+    enc_skip = {3: ch[2], 2: ch[1], 1: ch[0], 0: 8}
+    for s in range(4):
+        sd[f"up.{s}.0.weight"] = rng.randn(2, 2, 2, ups_in[s], dec_outs[s]).astype(np.float32)
+        _torch_bn(rng, dec_outs[s], f"up.{s}.1", sd)
+        torch_basic(f"dec.{s}.block0", dec_outs[s] + enc_skip[s], dec_outs[s])
+    sd["final.weight"] = rng.randn(1, 1, 1, ch[7], 13).astype(np.float32)
+    sd["final.bias"] = rng.randn(13).astype(np.float32)
+
+    params, stats, unmatched = convert_state_dict(sd, "SpUNet-v1m1", backbone_prefix="")
+    assert unmatched == [], unmatched
+
+    def check(src, dst, path=""):
+        count = 0
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k}"
+            if isinstance(v, dict):
+                count += check(v, dst[k], f"{path}/{k}")
+            else:
+                assert np.asarray(dst[k]).shape == v.shape, f"{path}/{k}: {np.asarray(dst[k]).shape} vs {v.shape}"
+                count += 1
+        return count
+
+    n1 = check(params, variables["params"])
+    n2 = check(stats, variables["batch_stats"])
+    assert n1 > 30 and n2 > 10
