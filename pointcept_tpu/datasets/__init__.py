@@ -12,3 +12,5 @@ from . import semantic_kitti  # noqa: F401
 from . import nuscenes  # noqa: F401
 from . import waymo  # noqa: F401
 from . import structured3d  # noqa: F401
+from . import shapenet_part  # noqa: F401
+from . import scannet_pair  # noqa: F401

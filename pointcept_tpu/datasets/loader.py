@@ -136,3 +136,43 @@ class DataLoader:
                     p.terminate()
             for p in workers:
                 p.join(timeout=1)
+
+
+class DistributedImbalancedSampler:
+    """Caps one sub-dataset of a ConcatDataset at `sampled_dataset_limit`
+    samples per epoch (parity: reference `datasets/dataloader.py:118`).
+
+    Iterates indices of a ConcatDataset where dataset `sampled_dataset_id`
+    contributes at most `sampled_dataset_limit` randomly chosen samples.
+    """
+
+    def __init__(self, dataset, sampled_dataset_id=0, sampled_dataset_limit=1000, shuffle=True, seed=0):
+        self.dataset = dataset
+        self.sampled_dataset_id = sampled_dataset_id
+        self.sampled_dataset_limit = sampled_dataset_limit
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        data_list = self.dataset.data_list
+        rng = np.random.RandomState((self.seed + self.epoch) % 2**31)
+        limited = [i for i, (d, _) in enumerate(data_list) if d == self.sampled_dataset_id]
+        others = [i for i, (d, _) in enumerate(data_list) if d != self.sampled_dataset_id]
+        if len(limited) > self.sampled_dataset_limit:
+            limited = rng.choice(limited, self.sampled_dataset_limit, replace=False).tolist()
+        indices = others + limited
+        if self.shuffle:
+            rng.shuffle(indices)
+        return indices
+
+    def __iter__(self):
+        return iter(self._indices())
+
+    def __len__(self):
+        data_list = self.dataset.data_list
+        n_lim = sum(1 for d, _ in data_list if d == self.sampled_dataset_id)
+        return len(data_list) - max(0, n_lim - self.sampled_dataset_limit)

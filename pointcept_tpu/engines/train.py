@@ -536,3 +536,35 @@ class MultiDatasetTrainer(Trainer):
             collate_fn=collate,
             seed=self.cfg.seed,
         )
+
+
+@TRAINERS.register_module("PartialSampledTrainer")
+class PartialSampledTrainer(Trainer):
+    """Trainer with a per-epoch cap on one sub-dataset (reference
+    `engines/train.py:359`): swaps in DistributedImbalancedSampler."""
+
+    def build_train_loader(self):
+        from pointcept_tpu.datasets.loader import DistributedImbalancedSampler
+
+        dataset = build_dataset(dict(self.cfg.data.train))
+        sampler = DistributedImbalancedSampler(
+            dataset,
+            sampled_dataset_id=self.cfg.get("sampled_dataset_id", 0),
+            sampled_dataset_limit=self.cfg.get("sampled_dataset_limit", 1000),
+            seed=self.cfg.seed,
+        )
+        collate = partial(
+            device_collate,
+            num_devices=self.num_devices,
+            capacity_per_device=self.capacity_per_device,
+            mix_prob=self.cfg.get("mix_prob", 0.0),
+        )
+        return DataLoader(
+            dataset,
+            batch_size=self.cfg.batch_size,
+            num_workers=self.cfg.get("num_worker", 0),
+            collate_fn=collate,
+            drop_last=True,
+            seed=self.cfg.seed,
+            sampler=sampler,
+        )

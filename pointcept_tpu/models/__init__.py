@@ -12,4 +12,5 @@ from . import point_transformer  # noqa: F401
 from . import point_group  # noqa: F401
 from . import context_aware_classifier  # noqa: F401
 from . import oacnns  # noqa: F401
+from . import litept  # noqa: F401
 from . import losses  # noqa: F401
