@@ -13,4 +13,5 @@ from . import point_group  # noqa: F401
 from . import context_aware_classifier  # noqa: F401
 from . import oacnns  # noqa: F401
 from . import litept  # noqa: F401
+from . import spvcnn  # noqa: F401
 from . import losses  # noqa: F401
