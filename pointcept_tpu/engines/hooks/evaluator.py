@@ -119,3 +119,61 @@ class ClsEvaluator(HookBase):
 
     def after_train(self):
         self.trainer.logger.info("Best {}: {:.4f}".format("allAcc", self.trainer.best_metric_value))
+
+
+@HOOKS.register_module()
+class InsSegEvaluator(HookBase):
+    """Per-epoch instance-seg eval (reference `hooks/evaluator.py:247`): runs the
+    PointGroup proposal path on the val loader and reports mAP/AP50/AP25."""
+
+    def __init__(self, segment_ignore_index=(-1, 0, 1), instance_ignore_index=-1):
+        self.segment_ignore_index = segment_ignore_index
+        self.instance_ignore_index = instance_ignore_index
+
+    def after_epoch(self):
+        if self.trainer.cfg.get("evaluate", True) and self.trainer.val_loader is not None:
+            self.eval()
+
+    def eval(self):
+        import jax
+        from pointcept_tpu.utils.instance_eval import aggregate_ap, evaluate_scene
+
+        trainer = self.trainer
+        trainer.logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        model = trainer.model
+        num_classes = trainer.cfg.data.num_classes - sum(1 for i in self.segment_ignore_index if i >= 0)
+        all_records = {c: [] for c in range(num_classes)}
+        all_gt = {c: 0 for c in range(num_classes)}
+        scene_counter = 0
+        for bi, batch in enumerate(trainer.val_loader):
+            arrays = {k: jnp.asarray(v[0]) for k, v in batch.items() if k not in ("num_scenes", "condition")}
+            from pointcept_tpu.engines.train import make_point_batch
+
+            pb = make_point_batch(arrays, batch["num_scenes"])
+            out = model.apply(
+                {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+                pb, train=False,
+            )
+            seg_prob = np.asarray(jax.nn.softmax(out["seg_logits"], -1))
+            bias = np.asarray(out["bias_pred"])
+            masks, classes, scores = model.propose_instances(
+                np.asarray(pb.coord), bias, seg_prob, np.asarray(pb.batch), np.asarray(pb.mask)
+            )
+            recs, counts = evaluate_scene(
+                masks, classes, scores,
+                np.asarray(pb.instance), np.asarray(pb.segment),
+                num_classes, self.segment_ignore_index,
+            )
+            for c, lst in recs.items():
+                for score, ious in lst:
+                    all_records[c].append((score, ious, scene_counter))
+            for c, cnt in counts.items():
+                all_gt[c] += cnt
+            scene_counter += 1
+        result = aggregate_ap(all_records, all_gt, num_classes)
+        trainer.logger.info(
+            "Val result: mAP/AP50/AP25 {:.4f}/{:.4f}/{:.4f}".format(result["mAP"], result["AP50"], result["AP25"])
+        )
+        trainer.logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        trainer.comm_info["current_metric_value"] = result["mAP"]
+        trainer.comm_info["current_metric_name"] = "mAP"

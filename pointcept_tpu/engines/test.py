@@ -435,3 +435,52 @@ class ClsVotingTester(TesterBase):
         logger.info("Val result: mAcc/allAcc {:.4f}/{:.4f}".format(mAcc, allAcc))
         logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         return dict(allAcc=allAcc, mAcc=mAcc)
+
+
+@TESTERS.register_module()
+class ShapeNetPartSegTester(TesterBase):
+    """Part segmentation tester (reference `engines/test.py:841`): per-category
+    part-IoU with logits masked to the sample's category part range."""
+
+    def test(self):
+        from pointcept_tpu.datasets.shapenet_part import ShapeNetPartDataset
+
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        cat2part = ShapeNetPartDataset.category2part
+        categories = ShapeNetPartDataset.categories
+        num_categories = len(categories)
+        iou_per_cat = {c: [] for c in range(num_categories)}
+
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data = self.test_dataset[idx]
+            cat = int(np.asarray(data["category"]).reshape(-1)[0])
+            parts = cat2part[categories[cat]]
+            n = data["coord"].shape[0]
+            batch = pad_to_point_batch(collate_fn([dict(data)]), self.test_capacity, num_scenes=1)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
+            probs = np.asarray(self.infer(self.state, arrays))[:n]
+            masked = np.full_like(probs, -1e9)
+            masked[:, parts] = probs[:, parts]
+            pred = masked.argmax(-1)
+            seg = np.asarray(data["segment"])[:n]
+            ious = []
+            for p in parts:
+                i = ((pred == p) & (seg == p)).sum()
+                u = ((pred == p) | (seg == p)).sum()
+                ious.append(i / u if u > 0 else 1.0)
+            iou_per_cat[cat].append(float(np.mean(ious)))
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] cat {categories[cat]} iou {iou_per_cat[cat][-1]:.4f}")
+
+        comm.synchronize()
+        gathered = comm.all_gather(iou_per_cat)
+        merged = {c: [] for c in range(num_categories)}
+        for g in gathered:
+            for c, lst in g.items():
+                merged[c].extend(lst)
+        ins_iou = float(np.mean([v for lst in merged.values() for v in lst])) if any(merged.values()) else 0.0
+        cat_iou = float(np.mean([np.mean(lst) for lst in merged.values() if lst])) if any(merged.values()) else 0.0
+        logger.info("Val result: ins.mIoU/cat.mIoU {:.4f}/{:.4f}".format(ins_iou, cat_iou))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(ins_miou=ins_iou, cat_miou=cat_iou)

@@ -77,6 +77,26 @@ class DefaultSegmentorV2(nn.Module):
         return result
 
 
+@MODELS.register_module("DefaultLORASegmentorV2")
+class DefaultLORASegmentorV2(DefaultSegmentorV2):
+    """PEFT fine-tuning of a frozen pretrained encoder with LoRA on qkv.
+
+    Parity: reference `models/default.py:99` (`DefaultLORASegmentorV2`, PEFT
+    LoRA on attention qkv, `:134-152`). Here the backbone gets `lora_rank`
+    injected, and freezing is enacted through the optimizer:
+    set ``optimizer.trainable_keywords = ("lora", "seg_head")`` in the config.
+    """
+
+    lora_rank: int = 16
+
+    def setup(self):
+        backbone = dict(self.backbone)
+        backbone["lora_rank"] = self.lora_rank
+        self.backbone_module = build_model(backbone)
+        self.criteria_fn = build_criteria(self.criteria)
+        self.seg_head = nn.Dense(self.num_classes, name="seg_head")
+
+
 @MODELS.register_module("DefaultClassifier")
 class DefaultClassifier(nn.Module):
     """Per-cloud classification: mean-pool valid points per scene + MLP head.

@@ -122,6 +122,7 @@ class SerializedAttention(nn.Module):
     proj_drop: float = 0.0
     order_index: int = 0
     enable_rpe: bool = False
+    lora_rank: int = 0  # >0: low-rank adapter on qkv (reference DefaultLORASegmentorV2)
 
     @nn.compact
     def __call__(self, feat, grid_coord, partition, train: bool) -> jnp.ndarray:
@@ -130,6 +131,10 @@ class SerializedAttention(nn.Module):
         scale = self.qk_scale or (c // h) ** -0.5
         slot_to_point, point_to_slot = partition
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=conv_kernel_init, name="qkv")(feat)
+        if self.lora_rank > 0:
+            a = self.param("lora_a", nn.initializers.normal(0.02), (c, self.lora_rank))
+            b = self.param("lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c))
+            qkv = qkv + (feat @ a) @ b
         bias = None
         if self.enable_rpe:
             k = self.patch_size
@@ -166,6 +171,7 @@ class Block(nn.Module):
     order_index: int = 0
     enable_rpe: bool = False
     pd: PDCfg = None
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr3, partition, train: bool) -> PointBatch:
@@ -189,6 +195,7 @@ class Block(nn.Module):
             proj_drop=self.proj_drop,
             order_index=self.order_index,
             enable_rpe=self.enable_rpe,
+            lora_rank=self.lora_rank,
             name="attn",
         )(x, pb.grid_coord, partition, train)
         x = DropPath(self.drop_path, name="drop_path1")(x, train)
@@ -379,6 +386,7 @@ class PointTransformerV3(nn.Module):
     serialize_depth: int = 12
     pool_capacity_factors: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
     grid_size: float = 0.02  # used only when the input lacks grid_coord
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False) -> PointBatch:
@@ -452,6 +460,7 @@ class PointTransformerV3(nn.Module):
                     order_index=i % s_orders,
                     enable_rpe=self.enable_rpe,
                     pd=pd,
+                    lora_rank=self.lora_rank,
                     name=f"enc{s}_block{i}",
                 )(pb, stage_ctx["nbr3"], stage_ctx["parts"][i % s_orders], train)
 
@@ -478,6 +487,7 @@ class PointTransformerV3(nn.Module):
                         order_index=i % s_orders,
                         enable_rpe=self.enable_rpe,
                         pd=pd,
+                        lora_rank=self.lora_rank,
                         name=f"dec{s}_block{i}",
                     )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
             return pb

@@ -90,8 +90,22 @@ def build_optimizer(cfg, params, schedule: Callable, param_dicts: Optional[Seque
     otype = cfg.pop("type")
     base_lr = cfg.pop("lr")
     cfg.pop("params", None)
+    trainable_keywords = cfg.pop("trainable_keywords", None)
     tx = OPTIMIZERS.build(dict(type=otype, learning_rate=schedule, **cfg))
     if param_dicts:
         param_dicts = [dict(pd) for pd in param_dicts]
         tx = optax.chain(tx, _group_multiplier_transform(params, param_dicts, base_lr))
+    if trainable_keywords:
+        # freeze everything except params whose path contains a keyword
+        # (LoRA / linear-probe fine-tuning, reference `models/default.py:99`)
+        kws = tuple(trainable_keywords)
+
+        def mask_fn(tree):
+            def leaf_mask(path, _):
+                s = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+                return any(k in s for k in kws)
+
+            return jax.tree_util.tree_map_with_path(leaf_mask, tree)
+
+        tx = optax.masked(tx, mask_fn)
     return tx
