@@ -173,3 +173,20 @@ def test_modelnet_style_cls_collate():
     assert batch["category"].shape == (2,)
     assert batch["category"][0] == 0 and batch["category"][1] == 1
     assert batch["feat"].shape[1] == 6
+
+
+def test_ply_roundtrip_and_reader():
+    import tempfile, os
+    from pointcept_tpu.utils.visualization import save_point_cloud
+    from pointcept_tpu.datasets.preprocessing.ply import read_scene_ply
+
+    rng = np.random.RandomState(0)
+    coord = rng.rand(50, 3).astype(np.float32)
+    color = (rng.rand(50, 3) * 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.ply")
+        save_point_cloud(coord, color, p)
+        c2, col2, extras, faces = read_scene_ply(p)
+        np.testing.assert_allclose(c2, coord, atol=1e-6)
+        np.testing.assert_array_equal(col2, color)
+        assert faces is None
