@@ -14,4 +14,5 @@ from . import context_aware_classifier  # noqa: F401
 from . import oacnns  # noqa: F401
 from . import litept  # noqa: F401
 from . import spvcnn  # noqa: F401
+from . import sgiformer  # noqa: F401
 from . import losses  # noqa: F401

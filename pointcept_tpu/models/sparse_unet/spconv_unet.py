@@ -58,7 +58,7 @@ class SpSubMConv(nn.Module):
         cin = feat.shape[-1]
         w = self.param("weight", trunc_init, (self.num_offsets, cin, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
-        return gather_conv(feat, nbr, w, b)
+        return gather_conv(feat, nbr, w, b, compute_dtype=jnp.bfloat16)
 
 
 class BasicBlock(nn.Module):
