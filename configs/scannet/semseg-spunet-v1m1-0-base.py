@@ -1,0 +1,23 @@
+# SpUNet base on ScanNet semseg (parity: reference configs/scannet/semseg-spunet-v1m1-0-base.py)
+# Reuses the ScanNet data pipeline from the PTv3 base config.
+_base_ = ["./semseg-pt-v3m1-0-base.py"]
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="SpUNet-v1m1",
+        in_channels=6,
+        num_classes=20,
+        channels=(32, 64, 128, 256, 256, 128, 96, 96),
+        layers=(2, 3, 4, 6, 2, 2, 2, 2),
+        serialize_depth=11,
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+epoch = 800
+eval_epoch = 100
+optimizer = dict(_delete_=True, type="SGD", lr=0.05, momentum=0.9, weight_decay=0.0001, nesterov=True)
+scheduler = dict(_delete_=True, type="PolyLR")
+param_dicts = None

@@ -1,0 +1,148 @@
+# Sonata self-distillation pretraining (parity: reference configs/sonata/pretrain-sonata-v1m1-0-base.py)
+# Reference trains on a 6-dataset indoor mix; this config keeps the recipe with
+# ScanNet as the driver dataset (add more via ConcatDataset like the reference).
+_base_ = ["../_base_/default_runtime.py"]
+
+# misc custom setting
+batch_size = 96
+num_worker = 48
+mix_prob = 0
+empty_cache = False
+enable_amp = True
+evaluate = False
+
+point_capacity = 131072  # global views (per chip)
+point_capacity_local = 65536  # local crops are 0.1-0.4 of a scene
+
+# model settings
+model = dict(
+    type="Sonata-v1m1",
+    backbone=dict(
+        type="PT-v3m1",
+        in_channels=6,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        stride=(2, 2, 2, 2),
+        enc_depths=(3, 3, 3, 12, 3),
+        enc_channels=(48, 96, 192, 384, 512),
+        enc_num_head=(3, 6, 12, 24, 32),
+        enc_patch_size=(1024, 1024, 1024, 1024, 1024),
+        mlp_ratio=4,
+        qkv_bias=True,
+        qk_scale=None,
+        attn_drop=0.0,
+        proj_drop=0.0,
+        drop_path=0.3,
+        shuffle_orders=True,
+        pre_norm=True,
+        enable_rpe=False,
+        enable_flash=True,
+        upcast_attention=False,
+        upcast_softmax=False,
+        enc_mode=True,  # encoder-only: Sonata distills encoder features
+        serialize_depth=11,
+        grid_size=0.02,
+    ),
+    head_in_channels=1232,  # concat of up_cast_level skip channels + final
+    head_hidden_channels=4096,
+    head_embed_channels=512,
+    head_num_prototypes=4096,
+    num_global_view=2,
+    num_local_view=4,
+    mask_size_start=0.1,
+    mask_size_base=0.4,
+    mask_size_warmup_ratio=0.05,
+    mask_ratio_start=0.3,
+    mask_ratio_base=0.7,
+    mask_ratio_warmup_ratio=0.05,
+    teacher_temp_start=0.04,
+    teacher_temp_base=0.07,
+    teacher_temp_warmup_ratio=0.05,
+    student_temp=0.1,
+    mask_loss_weight=2 / 8,
+    roll_mask_loss_weight=2 / 8,
+    unmask_loss_weight=4 / 8,
+    momentum_base=0.996,
+    momentum_final=1.0,
+    match_max_k=8,
+    match_max_r=0.08,
+    up_cast_level=2,
+)
+
+# scheduler settings
+epoch = 200
+base_lr = 0.004
+optimizer = dict(type="AdamW", lr=base_lr, weight_decay=0.04)
+scheduler = dict(
+    type="OneCycleLR",
+    max_lr=base_lr,
+    pct_start=0.05,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=10000.0,
+)
+
+# dataset settings
+dataset_type = "ScanNetDataset"
+data_root = "data/scannet"
+
+data = dict(
+    num_classes=20,
+    ignore_index=-1,
+    names=["no-category"],
+    train=dict(
+        type=dataset_type,
+        split="train",
+        data_root=data_root,
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train", return_grid_coord=True),
+            dict(type="SphereCrop", point_max=102400, mode="random"),
+            dict(type="Copy", keys_dict={"coord": "origin_coord"}),
+            dict(type="NormalizeColor"),
+            dict(
+                type="MultiViewGenerator",
+                global_view_num=2,
+                global_view_scale=(0.4, 1.0),
+                local_view_num=4,
+                local_view_scale=(0.1, 0.4),
+                global_shared_transform=[
+                    dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+                ],
+                global_transform=[
+                    dict(type="RandomColorJitter", brightness=0.4, contrast=0.4, saturation=0.2, hue=0.02, p=0.8),
+                    dict(type="RandomColorGrayScale", p=0.2),
+                    dict(type="RandomColorDrop", p=0.2),
+                ],
+                local_transform=[
+                    dict(type="RandomColorJitter", brightness=0.4, contrast=0.4, saturation=0.2, hue=0.02, p=0.8),
+                    dict(type="RandomColorGrayScale", p=0.2),
+                    dict(type="RandomColorDrop", p=0.2),
+                ],
+                view_keys=("coord", "origin_coord", "color", "normal"),
+            ),
+            dict(
+                type="Collect",
+                keys=(
+                    "global_coord", "global_origin_coord", "global_color", "global_normal",
+                    "local_coord", "local_origin_coord", "local_color", "local_normal",
+                ),
+                offset_keys_dict=dict(global_offset="global_coord", local_offset="local_coord"),
+                global_feat_keys=("global_color", "global_normal"),
+                local_feat_keys=("local_color", "local_normal"),
+            ),
+        ],
+        test_mode=False,
+    ),
+)
+
+hooks = [
+    dict(type="CheckpointLoader"),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="SonataHook"),
+    dict(type="WeightDecaySchedular", base_value=0.04, final_value=0.2),
+    dict(type="CheckpointSaver", save_freq=None),
+]

@@ -395,6 +395,20 @@ class RandomColorGrayScale:
 
 
 @TRANSFORMS.register_module()
+class RandomColorDrop:
+    """Zero out colors with probability p (reference transform.py RandomColorDrop)."""
+
+    def __init__(self, p: float = 0.2, color_augment: float = 0.0):
+        self.p = p
+        self.color_augment = color_augment
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            data_dict["color"] = data_dict["color"] * self.color_augment
+        return data_dict
+
+
+@TRANSFORMS.register_module()
 class HueSaturationTranslation:
     """HSV-space hue/saturation jitter on 0-255 rgb (reference `:671`)."""
 

@@ -345,3 +345,118 @@ def inverse_conv(feat_coarse, parent_of, child_slot, weight, bias=None, num_fine
     if bias is not None:
         out = out + bias
     return out
+
+
+def build_fused_neighbor_maps(stage_specs):
+    """Build neighbor maps for MANY (grid, kernel) stages with ONE sort-merge.
+
+    stage_specs: list of dicts(grid_coord [N_s,3], key_batch [N_s], mask [N_s],
+    depth (<=13), kernel_size). Returns a list of nbr [N_s, k^3] tables.
+
+    Rationale: jax.lax.sort cost on TPU is strongly sub-linear in size (large
+    fixed overhead per invocation), so fusing the stem k5 + every stage's k3
+    join into one sort of the concatenated tagged keys is much cheaper than
+    per-stage sorts. Key packing: k1 = stage(4b @ 19) | batch-tag(10b @ 9) |
+    morton-hi(9b), k2 = lo(30b) | is_query(1b). depth <= 13 so hi fits 9 bits.
+    """
+    assert len(stage_specs) <= 16
+    tk1_list, tk2_list, qk1_list, qk2_list = [], [], [], []
+    meta = []  # (n, pos_ids, center, k_total)
+    PAD_TAG = jnp.int32(1 << 9)
+    VOID_TAG = PAD_TAG + 1
+
+    for si, spec in enumerate(stage_specs):
+        grid = spec["grid_coord"]
+        kb = spec["key_batch"]
+        mask = spec["mask"]
+        depth = spec["depth"]
+        assert depth <= 13, "fused builder supports depth <= 13 (morton hi must fit 9 bits)"
+        k = spec["kernel_size"]
+        offs_np = kernel_offsets(k, spec.get("dilation", 1))
+        k_total = len(offs_np)
+        center = int(np.where((offs_np == 0).all(axis=1))[0][0])
+        pos_ids = list(range(center + 1, k_total))
+        lim = (1 << depth) - 1
+        n = grid.shape[0]
+        t_tag = jnp.where(mask, jnp.minimum(kb, PAD_TAG - 2), PAD_TAG)
+        stage_bits = jnp.int32(si) << 19
+
+        def pack(g, tag, isq):
+            hi, lo = ser.morton_encode_pair(g[:, 0], g[:, 1], g[:, 2], depth)
+            k1 = stage_bits | (tag << 9) | hi
+            k2 = (lo << 1) | isq
+            return k1, k2
+
+        k1, k2 = pack(jnp.clip(grid, 0, lim), t_tag, 0)
+        # pre-sort the table per stage so ranks are monotone
+        k1, k2, pid = jax.lax.sort((k1, k2, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=True)
+        tk1_list.append(k1)
+        tk2_list.append(k2)
+        meta.append(dict(n=n, pos_ids=pos_ids, center=center, k_total=k_total, pid_by_rank=pid, mask=mask))
+        for j in pos_ids:
+            qg = grid + jnp.asarray(offs_np[j])[None, :]
+            in_range = jnp.all((qg >= 0) & (qg <= lim), axis=-1) & mask
+            qg = jnp.clip(qg, 0, lim)
+            qk1, qk2 = pack(qg, jnp.where(in_range, t_tag, VOID_TAG), 1)
+            qk1_list.append(qk1)
+            qk2_list.append(qk2)
+
+    # global payload layout: tables first (rank within stage), then queries
+    t_sizes = [m["n"] for m in meta]
+    t_offsets = np.concatenate([[0], np.cumsum(t_sizes)])
+    q_sizes = [m["n"] * len(m["pos_ids"]) for m in meta]
+    q_offsets = np.concatenate([[0], np.cumsum(q_sizes)])
+    n_t = int(t_offsets[-1])
+    n_q = int(q_offsets[-1])
+
+    all_k1 = jnp.concatenate(tk1_list + qk1_list)
+    all_k2 = jnp.concatenate(tk2_list + qk2_list)
+    payload = jnp.arange(n_t + n_q, dtype=jnp.int32)
+    sk1, sk2, sp = jax.lax.sort((all_k1, all_k2, payload), num_keys=2, is_stable=True)
+
+    pos = jnp.arange(n_t + n_q, dtype=jnp.int32)
+    is_table = (sk2 & 1) == 0
+    # table payloads are global positions which increase with the sort order
+    # (stage-major, rank-minor) -> cummax gives the latest table row id
+    last_tid = jax.lax.cummax(jnp.where(is_table, sp, -1))
+    last_tpos = jax.lax.cummax(jnp.where(is_table, pos, -1))
+    new_run = jnp.concatenate(
+        [jnp.array([True]), (sk1[1:] != sk1[:-1]) | ((sk2[1:] >> 1) != (sk2[:-1] >> 1))]
+    )
+    run_start = jax.lax.cummax(jnp.where(new_run, pos, -1))
+    real = (sk1 & (PAD_TAG << 9)) == 0  # tag < PAD_TAG for every stage block
+    matched = (last_tpos >= run_start) & (last_tid >= 0) & (~is_table) & real
+
+    # per-stage pid lookup table, concatenated: pid_global[t_offset + rank] = point id
+    pid_by_rank = jnp.concatenate([m["pid_by_rank"] for m in meta])
+    match_pid = jnp.where(matched, pid_by_rank[jnp.clip(last_tid, 0, n_t - 1)], -1)
+
+    # scatter back: flat query id = sp - n_t (global, stage-major)
+    qflat = jnp.where(~is_table, sp - n_t, n_q)
+    flat = jnp.full((n_q + 1,), -1, jnp.int32).at[qflat].set(match_pid)[:n_q]
+
+    # also fill mirrors: need (stage, offset pos, point) of each query and the
+    # mirror column; do it per stage on the flat array
+    results = []
+    for si, m in enumerate(meta):
+        n = m["n"]
+        npos = len(m["pos_ids"])
+        seg = flat[int(q_offsets[si]) : int(q_offsets[si + 1])].reshape(npos, n)
+        k_total = m["k_total"]
+        nbr = jnp.full((k_total, n), -1, jnp.int32)
+        for li, j in enumerate(m["pos_ids"]):
+            nbr = nbr.at[j].set(seg[li])
+        # mirror: nbr[mirror(j)][pid] = i  where seg[li][i] = pid
+        dead = n
+        for li, j in enumerate(m["pos_ids"]):
+            mj = k_total - 1 - j
+            pid = seg[li]
+            tgt = jnp.where(pid >= 0, pid, dead)
+            col = jnp.full((n + 1,), -1, jnp.int32).at[tgt].set(
+                jnp.where(pid >= 0, jnp.arange(n, dtype=jnp.int32), -1)
+            )[:n]
+            nbr = nbr.at[mj].set(col)
+        self_col = jnp.where(m["mask"], jnp.arange(n, dtype=jnp.int32), -1)
+        nbr = nbr.at[m["center"]].set(self_col)
+        results.append(nbr.T)
+    return results

@@ -191,3 +191,33 @@ def test_losses():
     # fully ignored target gives finite loss
     all_ignored = jnp.full((100,), -1, jnp.int32)
     assert np.isfinite(float(crit(logits, all_ignored)))
+
+
+def test_fused_neighbor_maps_match_single_stage():
+    from pointcept_tpu.ops.sparse_conv import build_fused_neighbor_maps
+
+    rng = np.random.RandomState(7)
+    specs = []
+    singles = []
+    for si, (n_valid, cap, extent, k) in enumerate([(80, 96, 10, 3), (50, 64, 6, 5), (30, 32, 4, 3)]):
+        grid = np.zeros((cap, 3), np.int32)
+        grid[:n_valid] = rng.randint(0, extent, size=(n_valid, 3))
+        batch = np.full(cap, -1, np.int32)
+        batch[:n_valid] = rng.randint(0, 2, size=n_valid)
+        key = batch[:n_valid] * extent**3 + grid[:n_valid, 0] * extent**2 + grid[:n_valid, 1] * extent + grid[:n_valid, 2]
+        _, uidx = np.unique(key, return_index=True)
+        g2 = np.zeros((cap, 3), np.int32)
+        b2 = np.full(cap, -1, np.int32)
+        g2[: len(uidx)] = grid[:n_valid][uidx]
+        b2[: len(uidx)] = batch[:n_valid][uidx]
+        mask = b2 >= 0
+        kb = np.where(mask, b2, int(ser.BATCH_SENTINEL)).astype(np.int32)
+        specs.append(dict(
+            grid_coord=jnp.asarray(g2), key_batch=jnp.asarray(kb), mask=jnp.asarray(mask),
+            depth=8, kernel_size=k,
+        ))
+        singles.append(np.asarray(build_subm_neighbor_map(jnp.asarray(g2), jnp.asarray(kb), jnp.asarray(mask), 8, k)))
+
+    fused = build_fused_neighbor_maps(specs)
+    for f, s in zip(fused, singles):
+        np.testing.assert_array_equal(np.asarray(f), s)
