@@ -1,0 +1,130 @@
+# OctFormer on ScanNet semseg
+# (parity: reference configs/scannet/semseg-octformer-v1m1-0-base.py)
+_base_ = ["./semseg-pt-v3m1-0-base.py"]
+
+batch_size = 12
+mix_prob = 0
+
+point_capacity = 131072
+point_capacity_val = 131072
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="OctFormer-v1m1",
+        in_channels=10,
+        num_classes=20,
+        fpn_channels=168,
+        channels=(96, 192, 384, 384),
+        num_blocks=(2, 2, 18, 2),
+        num_heads=(6, 12, 24, 24),
+        patch_size=26,
+        stem_down=2,
+        head_up=2,
+        dilation=4,
+        drop_path=0.5,
+        serialize_depth=11,  # = reference octree_depth (0.01 m grid)
+        level_capacity_factor=0.45,
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+epoch = 600
+optimizer = dict(_delete_=True, type="AdamW", lr=0.0015, weight_decay=0.05)
+scheduler = dict(
+    _delete_=True,
+    type="MultiStepWithWarmupLR",
+    milestones=[0.6, 0.9],
+    gamma=0.1,
+    warmup_rate=0.05,
+    warmup_scale=1e-5,
+)
+param_dicts = [dict(keyword="block", lr=0.00015)]
+
+data = dict(
+    train=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomDropout", dropout_ratio=0.2, dropout_application_ratio=0.2),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="ElasticDistortion", distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+            dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+            dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+            dict(type="ChromaticJitter", p=0.95, std=0.05),
+            dict(
+                type="GridSample",
+                grid_size=0.01,
+                hash_type="fnv",
+                mode="train",
+                return_grid_coord=True,
+                return_min_coord=True,
+                return_displacement=True,
+                project_displacement=True,
+            ),
+            dict(type="SphereCrop", point_max=120000, mode="random"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ShufflePoint"),
+            dict(type="ToTensor"),
+            dict(
+                type="Collect",
+                keys=("coord", "grid_coord", "segment"),
+                feat_keys=("coord", "color", "normal", "displacement"),
+            ),
+        ],
+    ),
+    val=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(
+                type="GridSample",
+                grid_size=0.01,
+                hash_type="fnv",
+                mode="train",
+                return_grid_coord=True,
+                return_min_coord=True,
+                return_displacement=True,
+                project_displacement=True,
+            ),
+            dict(type="SphereCrop", point_max=120000, mode="center"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ToTensor"),
+            dict(
+                type="Collect",
+                keys=("coord", "grid_coord", "segment"),
+                feat_keys=("coord", "color", "normal", "displacement"),
+            ),
+        ],
+    ),
+    test=dict(
+        test_cfg=dict(
+            voxelize=dict(
+                type="GridSample",
+                grid_size=0.01,
+                hash_type="fnv",
+                mode="test",
+                return_grid_coord=True,
+                return_min_coord=True,
+                return_displacement=True,
+                project_displacement=True,
+            ),
+            post_transform=[
+                dict(type="CenterShift", apply_z=False),
+                dict(type="NormalizeColor"),
+                dict(type="ToTensor"),
+                dict(
+                    type="Collect",
+                    keys=("coord", "grid_coord", "index"),
+                    feat_keys=("coord", "color", "normal", "displacement"),
+                ),
+            ],
+        ),
+    ),
+)

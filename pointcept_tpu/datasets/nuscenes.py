@@ -22,6 +22,7 @@ class NuScenesDataset(DefaultDataset):
         self.sweeps = sweeps
         self.ignore_index = ignore_index
         self.learning_map = self.get_learning_map(ignore_index)
+        self.learning_map_inv = self.get_learning_map_inv(ignore_index)
         kwargs.pop("ignore_index", None)
         super().__init__(ignore_index=ignore_index, **kwargs)
 
@@ -74,4 +75,12 @@ class NuScenesDataset(DefaultDataset):
             12: 7, 13: ignore_index, 14: 1, 15: 2, 16: 2, 17: 3, 18: 4,
             19: ignore_index, 20: ignore_index, 21: 5, 22: 8, 23: 9, 24: 10,
             25: 11, 26: 12, 27: 13, 28: 14, 29: ignore_index, 30: 15, 31: ignore_index,
+        }
+
+    @staticmethod
+    def get_learning_map_inv(ignore_index):
+        # learned class -> canonical nuScenes lidarseg category id (for submission)
+        return {
+            ignore_index: 0, 0: 9, 1: 14, 2: 15, 3: 17, 4: 18, 5: 21, 6: 2,
+            7: 12, 8: 22, 9: 23, 10: 24, 11: 25, 12: 26, 13: 27, 14: 28, 15: 30,
         }

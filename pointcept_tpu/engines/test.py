@@ -120,6 +120,19 @@ class SemSegTester(TesterBase):
         if self.cfg.data.test.get("submit", False):
             submit_dir = os.path.join(save_path, "submit")
             make_dirs(submit_dir)
+            if self.cfg.data.test.type == "NuScenesDataset":
+                # nuScenes lidarseg challenge requires a meta manifest
+                import json
+
+                make_dirs(os.path.join(submit_dir, "test"))
+                meta = dict(
+                    meta=dict(
+                        use_camera=False, use_lidar=True, use_radar=False,
+                        use_map=False, use_external=False,
+                    )
+                )
+                with open(os.path.join(submit_dir, "test", "submission.json"), "w") as f:
+                    json.dump(meta, f, indent=4)
 
         record = {}
         indices = self.scene_indices()
@@ -221,7 +234,9 @@ class SemSegTester(TesterBase):
         return None
 
     def write_submission(self, submit_dir, data_name, pred_label):
-        """Benchmark submission writers (ScanNet/S3DIS txt protocol)."""
+        """Benchmark submission writers (reference test.py:226-280):
+        ScanNet/S3DIS txt, SemanticKITTI .label (learning_map_inv, uint32),
+        nuScenes lidarseg .bin (learning_map_inv, uint8)."""
         ds_type = self.cfg.data.test.type
         if ds_type in ("ScanNetDataset", "ScanNet200Dataset"):
             from pointcept_tpu.datasets.scannet import ScanNetDataset
@@ -231,6 +246,20 @@ class SemSegTester(TesterBase):
                 ScanNetDataset.class2id[pred_label].reshape([-1, 1]),
                 fmt="%d",
             )
+        elif ds_type == "SemanticKITTIDataset":
+            # data_name: "<sequence>_<frame>" -> sequences/<seq>/predictions/<frame>.label
+            sequence_name, frame_name = data_name.split("_")
+            pred_dir = os.path.join(submit_dir, "sequences", sequence_name, "predictions")
+            make_dirs(pred_dir)
+            inv = self.test_dataset.learning_map_inv
+            submit = np.vectorize(inv.__getitem__)(pred_label.astype(np.int64)).astype(np.uint32)
+            submit.tofile(os.path.join(pred_dir, f"{frame_name}.label"))
+        elif ds_type == "NuScenesDataset":
+            lidarseg_dir = os.path.join(submit_dir, "lidarseg", "test")
+            make_dirs(lidarseg_dir)
+            inv = self.test_dataset.learning_map_inv
+            submit = np.vectorize(inv.__getitem__)(pred_label.astype(np.int64)).astype(np.uint8)
+            submit.tofile(os.path.join(lidarseg_dir, f"{data_name}_lidarseg.bin"))
         else:
             np.save(os.path.join(submit_dir, f"{data_name}_pred.npy"), pred_label)
 

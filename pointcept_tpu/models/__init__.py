@@ -15,4 +15,7 @@ from . import oacnns  # noqa: F401
 from . import litept  # noqa: F401
 from . import spvcnn  # noqa: F401
 from . import sgiformer  # noqa: F401
+from . import stratified_transformer  # noqa: F401
+from . import octformer  # noqa: F401
+from . import swin3d  # noqa: F401
 from . import losses  # noqa: F401

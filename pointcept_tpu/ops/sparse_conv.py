@@ -460,3 +460,16 @@ def build_fused_neighbor_maps(stage_specs):
         nbr = nbr.at[m["center"]].set(self_col)
         results.append(nbr.T)
     return results
+
+
+def depthwise_gather_conv(feat, nbr, weight, bias=None):
+    """Depthwise submanifold conv (ocnn dwconv.OctreeDWConv equivalent):
+    out[i, c] = sum_k feat[nbr[i,k], c] * weight[k, c]."""
+    n, k = nbr.shape
+    ok = nbr >= 0
+    safe = jnp.minimum(jnp.maximum(nbr, 0), feat.shape[0] - 1)
+    g = feat[safe] * ok[..., None]  # [N, K, C]
+    out = jnp.einsum("nkc,kc->nc", g, weight)
+    if bias is not None:
+        out = out + bias
+    return out
