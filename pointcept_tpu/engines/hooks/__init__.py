@@ -8,6 +8,7 @@ from .misc import (
     GarbageHandler,
     PreciseEvaluator,
     RuntimeProfiler,
+    RuntimeProfilerV2,
     SonataHook,
 )
 from .evaluator import SemSegEvaluator, ClsEvaluator

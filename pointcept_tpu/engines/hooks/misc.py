@@ -253,6 +253,49 @@ class RuntimeProfiler(HookBase):
 
 
 @HOOKS.register_module()
+class RuntimeProfilerV2(HookBase):
+    """Schedule-based profiler (reference `:427-497`: torch.profiler schedule
+    wait/warmup/active/repeat -> tensorboard). Here: repeated jax.profiler
+    trace windows, one trace dir per cycle, viewable in tensorboard/xprof."""
+
+    def __init__(self, wait=1, warmup=1, active=2, repeat=1):
+        self.wait = wait
+        self.warmup = warmup
+        self.active = active
+        self.repeat = repeat
+        self._cycle_len = wait + warmup + active
+        self._active = False
+
+    def before_step(self):
+        import jax
+
+        if self.trainer.epoch != 0:
+            return
+        it = self.trainer.comm_info["iter"]
+        cycle, pos = divmod(it, self._cycle_len)
+        if cycle >= self.repeat:
+            return
+        if pos == self.wait + self.warmup and not self._active:
+            trace_dir = os.path.join(self.trainer.cfg.save_path, "profile", f"cycle{cycle}")
+            self.trainer.logger.info(f"ProfilerV2 trace (cycle {cycle}) -> {trace_dir}")
+            jax.profiler.start_trace(trace_dir)
+            self._active = True
+
+    def after_step(self):
+        import jax
+
+        if not self._active:
+            return
+        it = self.trainer.comm_info["iter"]
+        _, pos = divmod(it, self._cycle_len)
+        if pos == self._cycle_len - 1:
+            jax.block_until_ready(self.trainer.state.params)
+            jax.profiler.stop_trace()
+            self._active = False
+            self.trainer.logger.info("ProfilerV2 trace cycle complete.")
+
+
+@HOOKS.register_module()
 class SonataHook(HookBase):
     """Schedules SSL hyperparameters (mask size/ratio, teacher temp, EMA
     momentum) per step and feeds them into the train step.

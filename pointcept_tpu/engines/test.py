@@ -389,6 +389,8 @@ class InsSegTester(TesterBase):
                     all_records[c].append((score, ious, pos))
             for c, cnt in counts.items():
                 all_gt_counts[c] += cnt
+            if self.cfg.data.test.get("submit", False):
+                self.write_submission(str(data_dict.get("name", idx)), masks, classes, scores)
             logger.info(f"Test: [{pos + 1}/{len(indices)}] {data_dict.get('name', idx)} proposals {len(scores)}")
 
         comm.synchronize()
@@ -408,6 +410,29 @@ class InsSegTester(TesterBase):
         )
         logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         return result
+
+    def write_submission(self, data_name, masks, classes, scores):
+        """ScanNet/ScanNet++ instance benchmark format (reference test.py:1266-1303):
+        per-scene txt manifest + per-instance binary-RLE json masks."""
+        import json
+
+        save_dir = os.path.join(self.cfg.save_path, "result", "submit")
+        mask_dir = os.path.join(save_dir, "predicted_masks")
+        make_dirs(mask_dir)
+        lines = []
+        for i, (mask, cls, score) in enumerate(zip(masks, classes, scores)):
+            mask = np.asarray(mask).astype(np.uint8)
+            length = mask.shape[0]
+            padded = np.concatenate([[0], mask, [0]])
+            runs = np.where(padded[1:] != padded[:-1])[0] + 1
+            runs[1::2] -= runs[::2]
+            rle = dict(length=int(length), counts=" ".join(str(int(x)) for x in runs))
+            rel = os.path.join("predicted_masks", f"{data_name}_{i:03d}.json")
+            with open(os.path.join(mask_dir, f"{data_name}_{i:03d}.json"), "w") as f:
+                json.dump(rle, f, indent=2)
+            lines.append(f"{rel} {int(cls)} {float(score):.4f}")
+        with open(os.path.join(save_dir, f"{data_name}.txt"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
 
 
 @TESTERS.register_module()

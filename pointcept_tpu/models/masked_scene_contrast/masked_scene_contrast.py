@@ -119,7 +119,8 @@ class MaskedSceneContrast(nn.Module):
         _, sel = jax.lax.top_k(score, min(self.matching_max_pair, pb1.capacity))
         return sel, pair_j[sel], pair_valid[sel]
 
-    def compute_contrastive_loss(self, feat1, feat2, sel_i, sel_j, valid):
+    def compute_contrastive_loss(self, feat1, feat2, sel_i, sel_j, valid,
+                                 coord1=None, coord2=None, batch=None):
         a = feat1[sel_i]
         b = feat2[sel_j]
         a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-7)
@@ -158,7 +159,9 @@ class MaskedSceneContrast(nn.Module):
         f2 = self._backbone_feat(pb2.replace(feat=feat2), train)
 
         sel_i, sel_j, valid = self.match_contrastive_pair(v1_origin, pb1, v2_origin, pb2, k_match)
-        nce_loss, pos_sim, neg_sim = self.compute_contrastive_loss(f1, f2, sel_i, sel_j, valid)
+        nce_loss, pos_sim, neg_sim = self.compute_contrastive_loss(
+            f1, f2, sel_i, sel_j, valid, v1_origin, v2_origin, jnp.where(pb1.mask, pb1.batch, -1)
+        )
         loss = nce_loss * self.contrast_weight
         result = dict(nce_loss=nce_loss, pos_sim=pos_sim, neg_sim=neg_sim)
 
@@ -190,3 +193,64 @@ class MaskedSceneContrast(nn.Module):
 
         result["loss"] = loss
         return result
+
+
+@MODELS.register_module("MSC-v1m2")
+class MaskedSceneContrastCSC(MaskedSceneContrast):
+    """CSC variant (reference masked_scene_contrast_v1m2_csc.py:25-377,
+    "Contrastive Scene Contexts"): the InfoNCE negatives are restricted to
+    spatial partitions around each anchor — (r1 < d <= r2) x (above/below) and
+    (d > r2) x (above/below) — one softmax per partition, averaged over
+    partitions and scenes. Pairs closer than r1 are never negatives."""
+
+    partitions: int = 4
+    r1: float = 0.125
+    r2: float = 2.0
+
+    def compute_contrastive_loss(self, feat1, feat2, sel_i, sel_j, valid,
+                                 coord1=None, coord2=None, batch=None):
+        a = feat1[sel_i]
+        b = feat2[sel_j]
+        a = a / (jnp.linalg.norm(a, axis=1, keepdims=True) + 1e-7)
+        b = b / (jnp.linalg.norm(b, axis=1, keepdims=True) + 1e-7)
+        sim = a @ b.T  # [P, P]
+        p = sim.shape[0]
+        c1 = coord1[sel_i]
+        c2 = coord2[sel_j]
+        pb_batch = batch[sel_i]
+        pb_batch = jnp.where(valid, pb_batch, -1)
+
+        rel = c1[:, None, :] - c2[None, :, :]
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-7)
+        up = rel[:, :, 2] > 0.0
+        ring = (dist > self.r1) & (dist <= self.r2)
+        far = dist > self.r2
+        part = jnp.where(
+            ring, jnp.where(up, 0, 1), jnp.where(far, jnp.where(up, 2, 3), -1)
+        )
+
+        eye = jnp.eye(p, dtype=bool)
+        same_scene = (pb_batch[:, None] == pb_batch[None, :]) & (pb_batch[:, None] >= 0)
+        base_ok = (same_scene & valid[None, :]) | eye
+
+        vf = valid.astype(jnp.float32)
+        num_scenes = jnp.maximum(jnp.max(pb_batch) + 1, 1)
+        # per-row weight: 1 / (num_scenes * rows in that scene) — reproduces the
+        # reference's per-scene CE mean averaged over scenes
+        from pointcept_tpu.ops.segment_ops import segment_reduce
+
+        counts = segment_reduce(vf[:, None], jnp.where(valid, pb_batch, p), p, "sum")[..., 0]
+        row_cnt = jnp.where(valid, counts[jnp.clip(pb_batch, 0, p - 1)], 1.0)
+        row_w = vf / (jnp.maximum(row_cnt, 1.0) * num_scenes.astype(jnp.float32))
+
+        loss = 0.0
+        for pid in range(self.partitions):
+            ok = (base_ok & (part == pid)) | eye
+            logits = jnp.where(ok, sim / self.nce_t, -jnp.inf)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = loss - jnp.sum(jnp.diagonal(logp) * row_w)
+        loss = loss / self.partitions
+
+        pos_sim = jnp.sum(jnp.diagonal(sim) * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+        neg_sim = jnp.sum(sim * vf[:, None] * vf[None, :]) / jnp.maximum(jnp.sum(vf) ** 2, 1.0)
+        return loss, pos_sim, neg_sim

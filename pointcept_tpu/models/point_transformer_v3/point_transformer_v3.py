@@ -174,11 +174,18 @@ class Block(nn.Module):
     enable_rpe: bool = False
     pd: PDCfg = None
     lora_rank: int = 0
+    layer_scale: Optional[float] = None  # v3m2 LayerScale init value (sonata `:27-40`)
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr3, partition, train: bool) -> PointBatch:
         c = self.channels
         feat = pb.feat
+
+        def ls(name, x):
+            if self.layer_scale is None:
+                return x
+            gamma = self.param(name, nn.initializers.constant(self.layer_scale), (c,))
+            return x * gamma
         # xCPE residual
         cpe = SubMConv(c, 27, use_bias=True, name="cpe_conv")(feat, nbr3)
         cpe = nn.Dense(c, kernel_init=conv_kernel_init, name="cpe_linear")(cpe)
@@ -200,7 +207,7 @@ class Block(nn.Module):
             lora_rank=self.lora_rank,
             name="attn",
         )(x, pb.grid_coord, partition, train)
-        x = DropPath(self.drop_path, name="drop_path1")(x, train)
+        x = DropPath(self.drop_path, name="drop_path1")(ls("ls1_gamma", x), train)
         feat = shortcut + x
         if not self.pre_norm:
             feat = apply_ln("norm1", self.pd, feat, train, pb)
@@ -213,7 +220,7 @@ class Block(nn.Module):
             drop=self.proj_drop,
             name="mlp",
         )(x, train)
-        x = DropPath(self.drop_path, name="drop_path2")(x, train)
+        x = DropPath(self.drop_path, name="drop_path2")(ls("ls2_gamma", x), train)
         feat = shortcut + x
         if not self.pre_norm:
             feat = apply_ln("norm2", self.pd, feat, train, pb)
@@ -333,16 +340,31 @@ class SerializedUnpooling(nn.Module):
 
 
 class Embedding(nn.Module):
-    """Reference `Embedding` (`:485-516`): SubM k5 stem + BN + GELU."""
+    """Reference `Embedding` (`:485-516`): SubM k5 stem + BN + GELU.
+
+    mode="linear" is the v3m2 embedding (sonata `:507-540`): Linear + LN + GELU,
+    with an optional learnable mask token substituted at `patch_mask` points
+    (the masked-distillation input of Sonata)."""
 
     embed_channels: int
     pd: PDCfg = None
+    mode: str = "conv"
+    mask_token: bool = False
 
     @nn.compact
-    def __call__(self, pb: PointBatch, nbr5, train: bool) -> PointBatch:
-        feat = SubMConv(self.embed_channels, 125, use_bias=False, name="stem_conv")(pb.feat, nbr5)
-        feat = apply_bn("stem_norm", self.pd, feat, pb.mask, train, pb)
-        feat = nn.gelu(feat)
+    def __call__(self, pb: PointBatch, nbr5, train: bool, patch_mask=None) -> PointBatch:
+        if self.mode == "linear":
+            feat = nn.Dense(self.embed_channels, name="stem_linear")(pb.feat)
+            feat = apply_ln("stem_norm", self.pd, feat, train, pb)
+            feat = nn.gelu(feat)
+        else:
+            feat = SubMConv(self.embed_channels, 125, use_bias=False, name="stem_conv")(pb.feat, nbr5)
+            feat = apply_bn("stem_norm", self.pd, feat, pb.mask, train, pb)
+            feat = nn.gelu(feat)
+        if self.mask_token:
+            token = self.param("mask_token", nn.initializers.zeros, (1, self.embed_channels))
+            if patch_mask is not None:
+                feat = jnp.where(patch_mask[:, None], token.astype(feat.dtype), feat)
         return pb.replace(feat=feat)
 
 
@@ -389,9 +411,13 @@ class PointTransformerV3(nn.Module):
     pool_capacity_factors: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
     grid_size: float = 0.02  # used only when the input lacks grid_coord
     lora_rank: int = 0
+    # v3m2 (sonata variant) options
+    embed_mode: str = "conv"  # "linear" = v3m2 Linear+LN stem
+    mask_token: bool = False
+    layer_scale: Optional[float] = None
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool = False) -> PointBatch:
+    def __call__(self, pb: PointBatch, train: bool = False, patch_mask=None) -> PointBatch:
         orders = tuple(self.order) if not isinstance(self.order, str) else (self.order,)
         s_orders = len(orders)
         num_stages = len(self.enc_depths)
@@ -418,9 +444,16 @@ class PointTransformerV3(nn.Module):
         enc_dp = np.linspace(0, self.drop_path, sum(self.enc_depths)).tolist()
         dec_dp = np.linspace(0, self.drop_path, sum(self.dec_depths)).tolist() if not self.enc_mode else []
 
-        # stage 0 stem
-        nbr5 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
-        pb = Embedding(self.enc_channels[0], pd=pd, name="embedding")(pb, nbr5, train)
+        # stage 0 stem (the k5 map is only needed by the conv stem)
+        nbr5 = (
+            build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
+            if self.embed_mode == "conv"
+            else None
+        )
+        pb = Embedding(
+            self.enc_channels[0], pd=pd, mode=self.embed_mode, mask_token=self.mask_token,
+            name="embedding",
+        )(pb, nbr5, train, patch_mask=patch_mask)
 
         skips = []  # (skip_pb, cluster, stage_ctx)
         stage_ctx = {}
@@ -463,6 +496,7 @@ class PointTransformerV3(nn.Module):
                     enable_rpe=self.enable_rpe,
                     pd=pd,
                     lora_rank=self.lora_rank,
+                    layer_scale=self.layer_scale,
                     name=f"enc{s}_block{i}",
                 )(pb, stage_ctx["nbr3"], stage_ctx["parts"][i % s_orders], train)
 
@@ -490,9 +524,20 @@ class PointTransformerV3(nn.Module):
                         enable_rpe=self.enable_rpe,
                         pd=pd,
                         lora_rank=self.lora_rank,
+                        layer_scale=self.layer_scale,
                         name=f"dec{s}_block{i}",
                     )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
             return pb
         # enc_mode: expose the skip chain for SSL up_cast (reference enc_mode
         # leaves pooling_parent/pooling_inverse attached)
         return pb, skips
+
+
+@MODELS.register_module("PT-v3m2")
+class PointTransformerV3M2(PointTransformerV3):
+    """Sonata variant (reference point_transformer_v3m2_sonata.py): linear
+    embedding with optional mask token, LayerScale residual branches."""
+
+    embed_mode: str = "linear"
+    mask_token: bool = False
+    layer_scale: Optional[float] = None

@@ -103,3 +103,40 @@ def test_msc_forward_and_grad():
     norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(n > 0 for n in norms) > len(norms) * 0.8
+
+
+def test_msc_v1m2_csc_forward_and_grad():
+    batch = msc_batch()
+    model = build_model(dict(
+        type="MSC-v1m2",
+        backbone=dict(
+            type="SpUNet-v1m1", in_channels=6, num_classes=0,
+            channels=(8, 8, 8, 8, 8, 8, 8, 8), layers=(1, 1, 1, 1, 1, 1, 1, 1),
+            serialize_depth=8,
+        ),
+        backbone_in_channels=6,
+        backbone_out_channels=8,
+        matching_max_pair=128,
+        r1=0.1,
+        r2=0.5,
+        reconstruct_color=True,
+        reconstruct_normal=False,
+    ))
+    ns = batch.pop("num_scenes")
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    data = make_view_inputs(arrays, ns)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}, data, train=False
+    )
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            p, data, train=True, mutable=["batch_stats"],
+            rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        )
+        return out["loss"], out
+
+    (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert float(out["nce_loss"]) >= 0
+    assert all(np.isfinite(np.asarray(l, np.float64)).all() for l in jax.tree_util.tree_leaves(g))

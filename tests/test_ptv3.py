@@ -112,3 +112,62 @@ def test_ptv3_padding_invariance():
     a = np.asarray(out_small.feat)[:n]
     b = np.asarray(out_large.feat)[:n]
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_ptv3m2_layer_scale_and_mask_token():
+    import jax
+    import jax.numpy as jnp
+    from pointcept_tpu.models import build_model
+
+    model = build_model(dict(
+        type="PT-v3m2",
+        in_channels=6,
+        order=("z", "z-trans"),
+        stride=(2,),
+        enc_depths=(1, 1),
+        enc_channels=(16, 32),
+        enc_num_head=(2, 4),
+        enc_patch_size=(64, 64),
+        dec_depths=(1,),
+        dec_channels=(16,),
+        dec_num_head=(2,),
+        dec_patch_size=(64,),
+        layer_scale=1e-5,
+        mask_token=True,
+        serialize_depth=8,
+        pool_capacity_factors=(0.5,),
+    ))
+    pb = small_batch() if "small_batch" in globals() else None
+    if pb is None:
+        from pointcept_tpu.engines.train import make_point_batch
+        rng = np.random.RandomState(0)
+        cap, n = 256, 180
+        coord = np.zeros((cap, 3), np.float32); coord[:n] = rng.rand(n, 3) * 2
+        grid = np.zeros((cap, 3), np.int32); grid[:n] = (coord[:n] / 0.05).astype(np.int32)
+        feat = np.zeros((cap, 6), np.float32); feat[:n] = rng.randn(n, 6)
+        batch = np.full(cap, -1, np.int32); batch[:n] = 0
+        pb = make_point_batch(dict(coord=jnp.asarray(coord), grid_coord=jnp.asarray(grid),
+                                   feat=jnp.asarray(feat), batch=jnp.asarray(batch)), 1)
+    patch_mask = jnp.asarray(np.arange(256) % 3 == 0) & pb.mask
+    params = model.init(jax.random.PRNGKey(0), pb, train=False, patch_mask=patch_mask)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = [str(kp) for kp, _ in flat]
+    assert any("ls1_gamma" in n for n in names)
+    assert any("mask_token" in n for n in names)
+    assert not any("stem_conv" in n for n in names)  # linear embedding
+    out, _ = model.apply(params, pb, train=True, patch_mask=patch_mask,
+                         rngs={"dropout": jax.random.PRNGKey(1), "shuffle": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out.feat)[np.asarray(pb.mask)]).all()
+    # masked points actually saw the mask token: zero vs ones token changes output
+    import flax
+    p2 = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else dict(params)
+    import jax.tree_util as jtu
+    def bump(d):
+        return jtu.tree_map_with_path(
+            lambda kp, v: v + 1.0 if "mask_token" in str(kp) else v, d
+        )
+    out2, _ = model.apply(bump(params), pb, train=True, patch_mask=patch_mask,
+                          rngs={"dropout": jax.random.PRNGKey(1), "shuffle": jax.random.PRNGKey(2)},
+                          mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(out.feat), np.asarray(out2.feat))

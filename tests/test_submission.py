@@ -52,3 +52,25 @@ def test_nuscenes_maps_roundtrip():
     # every learned class maps back to a raw id that maps to the same class
     for cls in range(16):
         assert lm[inv[cls]] == cls
+
+
+def test_insseg_rle_submission():
+    from pointcept_tpu.engines.test import InsSegTester
+
+    t = InsSegTester.__new__(InsSegTester)
+    with tempfile.TemporaryDirectory() as d:
+        t.cfg = types.SimpleNamespace(save_path=d)
+        masks = [np.array([0, 1, 1, 0, 1], bool), np.array([1, 1, 0, 0, 0], bool)]
+        classes = [3, 7]
+        scores = [0.9, 0.4]
+        t.write_submission("scene0000_00", masks, classes, scores)
+        txt = open(os.path.join(d, "result", "submit", "scene0000_00.txt")).read().strip().splitlines()
+        assert txt[0].endswith(" 3 0.9000") and txt[1].endswith(" 7 0.4000")
+        rle = json.load(open(os.path.join(d, "result", "submit", "predicted_masks", "scene0000_00_000.json")))
+        assert rle["length"] == 5
+        # decode RLE back: start/len pairs
+        runs = list(map(int, rle["counts"].split()))
+        decoded = np.zeros(5, np.uint8)
+        for s, l in zip(runs[::2], runs[1::2]):
+            decoded[s - 1 : s - 1 + l] = 1
+        np.testing.assert_array_equal(decoded, masks[0].astype(np.uint8))
