@@ -13,4 +13,6 @@ from . import nuscenes  # noqa: F401
 from . import waymo  # noqa: F401
 from . import structured3d  # noqa: F401
 from . import shapenet_part  # noqa: F401
+from . import partnete  # noqa: F401
+from . import image_transform  # noqa: F401
 from . import scannet_pair  # noqa: F401

@@ -538,3 +538,76 @@ class ShapeNetPartSegTester(TesterBase):
         logger.info("Val result: ins.mIoU/cat.mIoU {:.4f}/{:.4f}".format(ins_iou, cat_iou))
         logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         return dict(ins_miou=ins_iou, cat_miou=cat_iou)
+
+
+@TESTERS.register_module()
+class PartNetEPartSegTester(TesterBase):
+    """PartNetE category-conditioned part-seg tester (reference
+    `engines/test.py:992-1158`): per-sample IoU for each present part of the
+    sample's category (skipping the per-category "other" part), accumulated
+    into global per-part averages; reports part-mean and category-mean IoU."""
+
+    def test(self):
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        ds = self.test_dataset
+        num_parts_total = int(sum(ds.num_parts))
+        iou_sum = np.zeros(num_parts_total, np.float64)
+        iou_cnt = np.zeros(num_parts_total, np.float64)
+
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data_dict = ds[idx]
+            fragment_list = data_dict.pop("fragment_list", None)
+            segment = np.asarray(data_dict.pop("segment"))
+            data_name = data_dict.pop("name", str(idx))
+            if fragment_list is None:
+                fragment_list = [data_dict]
+            cls_token = int(np.asarray(fragment_list[0]["cls_token"]).reshape(-1)[0])
+            category = ds.categories[cls_token]
+            parts_idx = ds.category2part[category]
+
+            pred = np.zeros((segment.size, self.cfg.data.num_classes), np.float32)
+            for frag in fragment_list:
+                frag = dict(frag)
+                frag.pop("cls_token", None)
+                index = frag.pop("index", np.arange(segment.size))
+                n_frag = frag["coord"].shape[0]
+                batch = pad_to_point_batch(collate_fn([frag]), self.test_capacity, num_scenes=1)
+                arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+                probs = np.asarray(self.infer(self.state, arrays))[:n_frag]
+                np.add.at(pred, np.asarray(index), probs)
+            if "origin_segment" in data_dict:
+                pred = pred[data_dict["inverse"]]
+                segment = np.asarray(data_dict["origin_segment"])
+            pred_label = pred.argmax(-1)
+
+            for k, part_id in enumerate(parts_idx):
+                if k == 0:  # "other" part excluded (reference :1072)
+                    continue
+                gid = part_id + 1  # +1: global label space leads with shift
+                if (segment == gid).sum() == 0 and (pred_label == gid).sum() == 0:
+                    continue
+                inter = float(((segment == gid) & (pred_label == gid)).sum())
+                union = float(((segment == gid) | (pred_label == gid)).sum())
+                slot = int(part_id)
+                iou_sum[slot] += inter / (union + 1e-10)
+                iou_cnt[slot] += 1
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] {data_name} ({category})")
+
+        comm.synchronize()
+        gathered = comm.all_gather((iou_sum, iou_cnt))
+        iou_sum = sum(g[0] for g in gathered)
+        iou_cnt = sum(g[1] for g in gathered)
+        present = iou_cnt > 0
+        part_iou = np.where(present, iou_sum / np.maximum(iou_cnt, 1), 0.0)
+        miou = float(part_iou[present].mean()) if present.any() else 0.0
+        cat_ious = []
+        for ci, cat in enumerate(ds.categories):
+            ids = [p for k, p in enumerate(ds.category2part[cat]) if k > 0 and present[p]]
+            if ids:
+                cat_ious.append(float(np.mean([part_iou[p] for p in ids])))
+        cat_miou = float(np.mean(cat_ious)) if cat_ious else 0.0
+        logger.info("Val result: part.mIoU/cat.mIoU {:.4f}/{:.4f}".format(miou, cat_miou))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(part_miou=miou, cat_miou=cat_miou)

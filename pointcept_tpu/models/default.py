@@ -140,3 +140,66 @@ class DefaultClassifier(nn.Module):
         if category is not None:
             result["loss"] = self.criteria_fn(logits, category)
         return result
+
+
+@MODELS.register_module("DINOEnhancedSegmentor")
+class DINOEnhancedSegmentor(nn.Module):
+    """Segmentor that concatenates backbone point features with 1-NN-mapped 2D
+    DINO features (reference models/default.py:207-290; torch_cluster.knn ->
+    `ops/pointops.knn_query`). Used for Sonata linear probing with DINOv2
+    distillation targets. Backbone may be absent (DINO-only probe), frozen
+    (stop_gradient), or an enc-mode backbone whose skip chain is up-cast
+    concatenated (`up_cast_level`)."""
+
+    num_classes: int = 20
+    backbone_out_channels: int = 96
+    backbone: Any = None
+    criteria: Any = None
+    freeze_backbone: bool = False
+    up_cast_level: int = 0
+
+    def setup(self):
+        self.backbone_module = build_model(dict(self.backbone)) if self.backbone is not None else None
+        self.criteria_fn = build_criteria(self.criteria)
+        self.seg_head = nn.Dense(self.num_classes)
+
+    def __call__(self, data, train: bool = False):
+        from pointcept_tpu.ops.pointops import knn_query
+
+        pb: PointBatch = data["point"] if isinstance(data, dict) else data
+        feats = []
+        if self.backbone_module is not None:
+            out = self.backbone_module(pb, train)
+            if isinstance(out, tuple):  # enc-mode: up-cast skip concat
+                out_pb, skips = out
+                feat = out_pb.feat
+                for _ in range(self.up_cast_level):
+                    skip_pb, cluster, _ctx = skips.pop()
+                    m = feat.shape[0]
+                    up = feat[jnp.minimum(cluster, m - 1)]
+                    up = jnp.where((cluster < m)[:, None], up, 0)
+                    feat = jnp.concatenate([skip_pb.feat, up], axis=-1)
+                    out_pb = skip_pb.replace(feat=feat)
+                out = out_pb
+            feat = out.feat if isinstance(out, PointBatch) else out
+            if self.freeze_backbone:
+                feat = jax.lax.stop_gradient(feat)
+            feats.append(feat)
+
+        dino_coord = data["dino_coord"]
+        dino_feat = data["dino_feat"]
+        dino_batch = data["dino_batch"]
+        idx, _ = knn_query(
+            1,
+            dino_coord,
+            dino_batch,
+            pb.origin_coord if pb.origin_coord is not None else pb.coord,
+            jnp.where(pb.mask, pb.batch, -2),
+        )
+        feats.append(dino_feat[idx[:, 0]])
+        feat = jnp.concatenate(feats, axis=-1)
+        logits = self.seg_head(feat)
+        result = {"seg_logits": logits}
+        if pb.segment is not None:
+            result["loss"] = self.criteria_fn(logits, pb.segment)
+        return result

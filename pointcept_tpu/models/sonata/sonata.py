@@ -240,6 +240,7 @@ class Sonata(nn.Module):
             )
             s_pb = self.up_cast(s_out, list(s_skips))
             mask_pred_sim = self.mask_head(s_pb.feat)
+            aux = dict(s_out=s_out, s_skips=s_skips, g_pb=g_pb, global_mask=global_mask)
 
             if self.mask_loss_weight > 0:
                 sel_t, valid = self.match_neighbour(
@@ -291,5 +292,10 @@ class Sonata(nn.Module):
             result["unmask_loss"] = unmask_loss
             losses.append(unmask_loss * self.unmask_loss_weight)
 
+        self.extra_losses(data, locals().get("aux"), result, losses, train)
         result["loss"] = sum(losses)
         return result
+
+    def extra_losses(self, data, aux, result, losses, train):
+        """Extension hook for subclasses (Concerto enc2d branch)."""
+        return

@@ -37,3 +37,34 @@ def test_cac_train_and_eval():
     ev = model.apply(variables, pb, train=False)
     assert ev["seg_logits"].shape == (192, 13)
     assert np.isfinite(float(ev["loss"]))
+
+
+def test_dino_enhanced_segmentor():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pointcept_tpu.engines.train import make_point_batch
+    from pointcept_tpu.models import build_model
+
+    rng = np.random.RandomState(0)
+    cap, n, md = 128, 90, 40
+    coord = np.zeros((cap, 3), np.float32); coord[:n] = rng.rand(n, 3)
+    batch = np.full(cap, -1, np.int32); batch[:n] = 0
+    seg = np.full(cap, -1, np.int32); seg[:n] = rng.randint(0, 5, n)
+    feat = np.zeros((cap, 6), np.float32); feat[:n] = rng.randn(n, 6)
+    pb = make_point_batch(dict(coord=jnp.asarray(coord), feat=jnp.asarray(feat),
+                               batch=jnp.asarray(batch), segment=jnp.asarray(seg)), 1)
+    data = dict(
+        point=pb,
+        dino_coord=jnp.asarray(rng.rand(md, 3).astype(np.float32)),
+        dino_feat=jnp.asarray(rng.randn(md, 16).astype(np.float32)),
+        dino_batch=jnp.zeros((md,), jnp.int32),
+    )
+    model = build_model(dict(
+        type="DINOEnhancedSegmentor", num_classes=5, backbone=None,
+        criteria=[dict(type="CrossEntropyLoss", ignore_index=-1)],
+    ))
+    params = model.init(jax.random.PRNGKey(0), data, train=False)
+    out = model.apply(params, data, train=False)
+    assert out["seg_logits"].shape == (cap, 5)
+    assert np.isfinite(float(out["loss"]))

@@ -190,3 +190,82 @@ def test_ply_roundtrip_and_reader():
         np.testing.assert_allclose(c2, coord, atol=1e-6)
         np.testing.assert_array_equal(col2, color)
         assert faces is None
+
+
+def test_partnete_dataset_layout():
+    import json as _json
+    import tempfile, os
+    from pointcept_tpu.datasets import build_dataset
+
+    with tempfile.TemporaryDirectory() as d:
+        meta = {"Bottle": ["lid"], "Chair": ["arm", "seat"]}
+        meta_path = os.path.join(d, "meta.json")
+        _json.dump(meta, open(meta_path, "w"))
+        rng = np.random.RandomState(0)
+        for cat, oid, nparts in [("Bottle", "o1", 2), ("Chair", "o2", 3)]:
+            p = os.path.join(d, "val", cat, oid)
+            os.makedirs(p)
+            n = 50
+            np.save(os.path.join(p, "coord.npy"), rng.rand(n, 3).astype(np.float32))
+            np.save(os.path.join(p, "segment.npy"), rng.randint(0, nparts - 1, n))
+        ds = build_dataset(dict(
+            type="PartNetEDataset",
+            class_names=["Bottle", "Chair"],
+            num_parts=[2, 3],
+            data_root=d,
+            meta_path=meta_path,
+            split="val",
+            transform=[dict(type="Collect", keys=("coord", "segment", "cls_token"), feat_keys=("coord",))],
+            test_mode=False,
+        ))
+        assert len(ds) == 2
+        assert ds.category2part["Chair"] == [2, 3, 4]
+        assert ds.parts == ["Bottle_other", "Bottle_lid", "Chair_other", "Chair_arm", "Chair_seat"]
+        s0 = ds[0]  # Bottle: raw labels 0 -> global 1 (offset 0 + 1)
+        segs = np.unique(s0["segment"])
+        assert segs.min() >= 1 and segs.max() <= 2
+        s1 = ds[1]  # Chair: raw 0..1 -> global 3..4
+        segs = np.unique(s1["segment"])
+        assert segs.min() >= 3 and segs.max() <= 5
+
+
+def test_image_transforms():
+    from pointcept_tpu.datasets.transform import TRANSFORMS
+
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    t = TRANSFORMS.build(dict(type="ImgToTensor"))
+    img = t(raw)
+    assert img.shape == (2, 3, 32, 32) and img.max() <= 1.0
+
+    for cfg in [
+        dict(type="ImgGaussianBlur", p=1.0),
+        dict(type="ImgChromaticJitter", p=1.0, std=0.01),
+        dict(type="ImgPixelContrast", threshold=0.1, p=1.0),
+        dict(type="Imgnormalize"),
+        dict(type="ImgRandomHorizontalFlip", p=1.0),
+        dict(type="ImgRandomColorJitter", p=1.0),
+        dict(type="ImgRandomGrayscale", p=1.0),
+        dict(type="ImgRandomSolarize", threshold=0.5, p=1.0),
+    ]:
+        out = TRANSFORMS.build(cfg)(img.copy())
+        assert out.shape == img.shape, cfg
+        assert np.isfinite(out).all(), cfg
+
+    crop = TRANSFORMS.build(dict(type="ImgRandomResizedCrop", size=16, scale=(0.5, 1.0)))
+    out = crop(img)
+    assert out.shape == (2, 3, 16, 16)
+
+    aug = TRANSFORMS.build(dict(
+        type="ImgAugmentation",
+        imgtransforms=[dict(type="Imgnormalize")],
+        crop_h=24, crop_w=24, patch_h=8, patch_w=8, patch_size=4, to_patch=True,
+    ))
+    corr = np.array([[[0, 0], [30, 30], [10, 12]]], np.int32).reshape(1, 3, 2)
+    point = dict(images=img, correspondence=corr.copy())
+    out = aug(point)
+    assert out["images"].shape[-2:] == (24, 24)
+    c = out["correspondence"].reshape(-1, 2)
+    # in-crop pixels became patch indices within [0, crop/patch)
+    valid = c[(c >= 0).all(1)]
+    assert (valid < 24 // 4 + 1).all()
