@@ -19,4 +19,5 @@ from . import stratified_transformer  # noqa: F401
 from . import octformer  # noqa: F401
 from . import swin3d  # noqa: F401
 from . import concerto  # noqa: F401
+from . import utonia  # noqa: F401
 from . import losses  # noqa: F401

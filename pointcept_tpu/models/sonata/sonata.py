@@ -88,6 +88,7 @@ class Sonata(nn.Module):
     mask_size_start: float = 0.1
     mask_size_base: float = 0.4
     mask_size_warmup_ratio: float = 0.05
+    mask_size_scale: float = 1.0  # Utonia masks in grid units: scale = grid_size
     mask_ratio_start: float = 0.3
     mask_ratio_base: float = 0.7
     mask_ratio_warmup_ratio: float = 0.05
@@ -193,7 +194,7 @@ class Sonata(nn.Module):
     # ----------------------------------------------------------------- forward
     def __call__(self, data: dict, train: bool = True, hyper: Optional[dict] = None):
         hyper = hyper or {}
-        mask_size = hyper.get("mask_size", jnp.asarray(self.mask_size_base))
+        mask_size = hyper.get("mask_size", jnp.asarray(self.mask_size_base)) * self.mask_size_scale
         mask_ratio = hyper.get("mask_ratio", jnp.asarray(self.mask_ratio_base))
         teacher_temp = hyper.get("teacher_temp", jnp.asarray(self.teacher_temp_base))
 

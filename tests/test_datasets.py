@@ -269,3 +269,47 @@ def test_image_transforms():
     # in-crop pixels became patch indices within [0, crop/patch)
     valid = c[(c >= 0).all(1)]
     assert (valid < 24 // 4 + 1).all()
+
+
+def test_image_point_dataset():
+    import json as _json
+    import tempfile, os
+    from PIL import Image
+    from pointcept_tpu.datasets import build_dataset
+
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as d:
+        pc_dir = os.path.join(d, "scene0", "pc")
+        os.makedirs(pc_dir)
+        n = 60
+        np.save(os.path.join(pc_dir, "coord.npy"), rng.rand(n, 3).astype(np.float32))
+        np.save(os.path.join(pc_dir, "color.npy"), (rng.rand(n, 3) * 255).astype(np.float32))
+        img_path = os.path.join(d, "scene0", "img0.png")
+        Image.fromarray((rng.rand(64, 112, 3) * 255).astype(np.uint8)).save(img_path)
+        # correspondence rows: (x_pixel, y_pixel, point_idx)
+        corr = np.stack([
+            rng.randint(0, 112, 20), rng.randint(0, 64, 20), rng.choice(n, 20, replace=False),
+        ], axis=1).astype(np.float32)
+        corr_path = os.path.join(d, "scene0", "corr0.npy")
+        np.save(corr_path, corr)
+        os.makedirs(os.path.join(d, "splits"))
+        _json.dump(
+            {"scene0": {"pointclouds": pc_dir, "images": [img_path], "correspondences": [corr_path]}},
+            open(os.path.join(d, "splits", "train.json"), "w"),
+        )
+        ds = build_dataset(dict(
+            type="DefaultImagePointDataset",
+            split="train",
+            data_root=d,
+            crop_h=56, crop_w=56, patch_size=14,
+            transform=[],
+        ))
+        assert len(ds) == 1
+        s = ds[0]
+        assert s["images"].shape == (1, 3, 56, 56)
+        assert s["img_num"][0] == 1
+        assert s["correspondence"].shape == (n, 1, 2)
+        valid = s["correspondence"][:, 0, 0] >= 0
+        assert valid.sum() > 0
+        # patch units: within [0, patch_h)
+        assert (s["correspondence"][valid] < 56 / 14).all()
