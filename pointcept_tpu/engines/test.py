@@ -214,6 +214,11 @@ class SemSegTester(TesterBase):
             intersection = np.sum([meters["intersection"] for meters in record.values()], axis=0)
             union = np.sum([meters["union"] for meters in record.values()], axis=0)
             target = np.sum([meters["target"] for meters in record.values()], axis=0)
+            # aggregate record for cross-fold evaluation (tools/test_s3dis_6fold.py)
+            np.savez(
+                os.path.join(save_path, "record.npz"),
+                intersection=intersection, union=union, target=target,
+            )
 
             iou_class = intersection / (union + 1e-10)
             accuracy_class = intersection / (target + 1e-10)
@@ -262,6 +267,76 @@ class SemSegTester(TesterBase):
             submit.tofile(os.path.join(lidarseg_dir, f"{data_name}_lidarseg.bin"))
         else:
             np.save(os.path.join(submit_dir, f"{data_name}_pred.npy"), pred_label)
+
+
+@TESTERS.register_module()
+class DINOSemSegTester(SemSegTester):
+    """SemSegTester variant for DINOEnhancedSegmentor (reference test.py:361):
+    each fragment forward additionally receives the scene's 2D DINO feature
+    point cloud (dino_coord/dino_feat), padded to a static capacity."""
+
+    def __init__(self, cfg, model=None, state=None, verbose=False, dino_capacity=65536):
+        self.dino_capacity = dino_capacity
+        super().__init__(cfg, model=model, state=state, verbose=verbose)
+
+    def _pad_dino(self, data_dict):
+        dc = np.asarray(data_dict["dino_coord"], np.float32)
+        df = np.asarray(data_dict["dino_feat"], np.float32)
+        m = self.dino_capacity
+        n = min(len(dc), m)
+        coord = np.zeros((m, 3), np.float32)
+        feat = np.zeros((m, df.shape[1]), np.float32)
+        batch = np.full((m,), -1, np.int32)
+        coord[:n], feat[:n], batch[:n] = dc[:n], df[:n], 0
+        return jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(batch)
+
+    @property
+    def infer(self):
+        if self._infer_fn is None:
+            model = self.model
+
+            @jax.jit
+            def infer_fn(state, arrays, dino_coord, dino_feat, dino_batch):
+                pb = make_point_batch(arrays, 1)
+                data = dict(point=pb, dino_coord=dino_coord, dino_feat=dino_feat, dino_batch=dino_batch)
+                out = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, data, train=False
+                )
+                return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+
+            self._infer_fn = infer_fn
+        return self._infer_fn
+
+    def test(self):
+        # wrap the base loop: stash dino arrays per scene and curry them into infer
+        base_infer = self.infer
+        outer = self
+
+        class _Shim:
+            def __call__(self, state, arrays):
+                return base_infer(state, arrays, *outer._dino)
+
+        orig_dataset = self.test_dataset
+
+        class _DS:
+            def __len__(self):
+                return len(orig_dataset)
+
+            def __getitem__(self, idx):
+                d = orig_dataset[idx]
+                outer._dino = outer._pad_dino(d)
+                d.pop("dino_coord", None), d.pop("dino_feat", None), d.pop("dino_offset", None)
+                for frag in d.get("fragment_list", []):
+                    frag.pop("dino_coord", None), frag.pop("dino_feat", None), frag.pop("dino_offset", None)
+                return d
+
+        self._infer_fn = _Shim()
+        self.test_dataset = _DS()
+        try:
+            return super().test()
+        finally:
+            self.test_dataset = orig_dataset
+            self._infer_fn = None
 
 
 @TESTERS.register_module()

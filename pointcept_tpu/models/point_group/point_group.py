@@ -122,3 +122,67 @@ class PointGroup(nn.Module):
         if not masks:
             return np.zeros((0, n), bool), np.zeros(0, np.int32), np.zeros(0, np.float32)
         return np.stack(masks), np.asarray(classes, np.int32), np.asarray(scores, np.float32)
+
+
+@MODELS.register_module("PG-v1m2")
+class PointGroupV1M2(PointGroup):
+    """PG-v1m2 (reference point_group_v1m2_custom_criteria.py:25): PointGroup
+    with a configurable semantic criteria list, optional frozen backbone, and
+    up-cast concat for enc-mode backbones (Sonata-pretrained PG probing)."""
+
+    criteria: Any = None
+    freeze_backbone: bool = False
+    up_cast_level: int = 0
+
+    def setup(self):
+        super().setup()
+        from pointcept_tpu.models.losses import build_criteria
+
+        self.seg_criteria = build_criteria(
+            self.criteria
+            if self.criteria is not None
+            else [dict(type="CrossEntropyLoss", ignore_index=self.semantic_ignore_index)]
+        )
+
+    def __call__(self, pb: PointBatch, train: bool = False):
+        out = self.backbone_module(pb, train)
+        if isinstance(out, tuple):  # enc-mode backbone: up-cast skip concat
+            out_pb, skips = out
+            feat = out_pb.feat
+            skips = list(skips)
+            for _ in range(self.up_cast_level if self.up_cast_level else len(skips)):
+                if not skips:
+                    break
+                skip_pb, cluster, _ctx = skips.pop()
+                m = feat.shape[0]
+                up = feat[jnp.minimum(cluster, m - 1)]
+                up = jnp.where((cluster < m)[:, None], up, 0)
+                feat = jnp.concatenate([skip_pb.feat, up], axis=-1)
+                out_pb = skip_pb.replace(feat=feat)
+            out = out_pb
+        feat = out.feat if isinstance(out, PointBatch) else out
+        if self.freeze_backbone:
+            feat = jax.lax.stop_gradient(feat)
+        x = self.bias_fc1(feat)
+        x = nn.relu(self.bias_norm(x, pb.mask, train))
+        bias_pred = self.bias_fc2(x)
+        logit_pred = self.seg_head(feat)
+        result = {"seg_logits": logit_pred, "bias_pred": bias_pred}
+
+        if pb.segment is not None and pb.instance is not None and pb.instance_centroid is not None:
+            seg_loss = self.seg_criteria(logit_pred, pb.segment)
+            inst_mask = ((pb.instance != self.instance_ignore_index) & pb.mask).astype(jnp.float32)
+            bias_gt = pb.instance_centroid - pb.coord
+            bias_dist = jnp.sum(jnp.abs(bias_pred - bias_gt), axis=-1)
+            bias_l1_loss = jnp.sum(bias_dist * inst_mask) / (jnp.sum(inst_mask) + 1e-8)
+            pred_norm = bias_pred / (jnp.linalg.norm(bias_pred, axis=1, keepdims=True) + 1e-8)
+            gt_norm = bias_gt / (jnp.linalg.norm(bias_gt, axis=1, keepdims=True) + 1e-8)
+            cosine = -jnp.sum(pred_norm * gt_norm, axis=-1)
+            bias_cosine_loss = jnp.sum(cosine * inst_mask) / (jnp.sum(inst_mask) + 1e-8)
+            result.update(
+                loss=seg_loss + bias_l1_loss + bias_cosine_loss,
+                seg_loss=seg_loss,
+                bias_l1_loss=bias_l1_loss,
+                bias_cosine_loss=bias_cosine_loss,
+            )
+        return result

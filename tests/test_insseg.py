@@ -105,3 +105,45 @@ def test_instance_ap_protocol():
     all_records = {c: [(s, i, 0) for s, i in recs.get(c, [])] for c in range(11)}
     result2 = aggregate_ap(all_records, counts, 11)
     assert result2["mAP"] < 1.0
+
+
+def test_pg_v1m2_custom_criteria():
+    import jax
+    import jax.numpy as jnp
+    from pointcept_tpu.models import build_model
+
+    pb = insseg_batch() if "insseg_batch" in globals() else None
+    if pb is None:
+        from pointcept_tpu.engines.train import make_point_batch
+        rng = np.random.RandomState(0)
+        cap, n = 256, 180
+        coord = np.zeros((cap, 3), np.float32); coord[:n] = rng.rand(n, 3) * 2
+        grid = (coord / 0.05).astype(np.int32)
+        feat = np.zeros((cap, 6), np.float32); feat[:n] = rng.randn(n, 6)
+        batch = np.full(cap, -1, np.int32); batch[:n] = 0
+        seg = np.full(cap, -1, np.int32); seg[:n] = rng.randint(0, 5, n)
+        inst = np.full(cap, -1, np.int32); inst[:n] = rng.randint(0, 4, n)
+        cent = np.zeros((cap, 3), np.float32)
+        for i in range(4):
+            m = inst == i
+            if m.sum():
+                cent[m] = coord[m].mean(0)
+        pb = make_point_batch(dict(coord=jnp.asarray(coord), grid_coord=jnp.asarray(grid),
+                                   feat=jnp.asarray(feat), batch=jnp.asarray(batch),
+                                   segment=jnp.asarray(seg), instance=jnp.asarray(inst),
+                                   instance_centroid=jnp.asarray(cent)), 1)
+    model = build_model(dict(
+        type="PG-v1m2",
+        backbone=dict(type="SpUNet-v1m1", in_channels=6, num_classes=0,
+                      channels=(8, 8, 8, 8, 8, 8, 8, 8), layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                      serialize_depth=8),
+        backbone_out_channels=8,
+        semantic_num_classes=5,
+        segment_ignore_index=(-1,),
+        criteria=[dict(type="CrossEntropyLoss", ignore_index=-1),
+                  dict(type="LovaszLoss", mode="multiclass", ignore_index=-1)],
+    ))
+    params = model.init(jax.random.PRNGKey(0), pb, train=False)
+    out, _ = model.apply(params, pb, train=True, mutable=["batch_stats"])
+    assert np.isfinite(float(out["loss"]))
+    assert out["seg_logits"].shape[-1] == 5
