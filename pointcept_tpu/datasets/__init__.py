@@ -16,4 +16,5 @@ from . import shapenet_part  # noqa: F401
 from . import partnete  # noqa: F401
 from . import image_transform  # noqa: F401
 from . import image_point  # noqa: F401
+from . import variants  # noqa: F401
 from . import scannet_pair  # noqa: F401

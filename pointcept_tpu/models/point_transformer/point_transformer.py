@@ -130,12 +130,17 @@ class TransitionDown(nn.Module):
 
 
 class TransitionUp(nn.Module):
-    """Interp upsample + skip (reference `:124`); is_head = global-context stage."""
+    """Interp upsample + skip (reference `:124`); is_head = global-context stage.
+
+    PartSeg variant (reference point_transformer_partseg.py:122-158): the
+    global head additionally concatenates a learned embedding of the shape's
+    category one-hot (`num_shape_classes` -> 1024)."""
 
     out_planes: Optional[int] = None
+    num_shape_classes: Optional[int] = None
 
     @nn.compact
-    def __call__(self, coarse, fine=None, num_scenes: int = 1, train: bool = False):
+    def __call__(self, coarse, fine=None, num_scenes: int = 1, train: bool = False, category=None):
         c_coord, c_feat, c_batch, c_mask = coarse
         if fine is None:
             # global-context head: concat per-scene mean (reference `:147-158`)
@@ -144,7 +149,12 @@ class TransitionUp(nn.Module):
             )
             g = nn.Dense(c_feat.shape[-1], name="linear2")(pooled)
             g = nn.relu(g)
-            x = jnp.concatenate([c_feat, g[jnp.clip(c_batch, 0, num_scenes - 1)]], axis=-1)
+            parts = [c_feat, g[jnp.clip(c_batch, 0, num_scenes - 1)]]
+            if self.num_shape_classes is not None:
+                onehot = jax.nn.one_hot(jnp.maximum(category, 0), self.num_shape_classes)
+                y = nn.relu(nn.Dense(1024, name="linear3")(onehot))  # [B, 1024]
+                parts.append(y[jnp.clip(c_batch, 0, num_scenes - 1)])
+            x = jnp.concatenate(parts, axis=-1)
             x = nn.Dense(c_feat.shape[-1], name="linear1")(x)
             x = nn.relu(MaskedBatchNorm(momentum=0.1, eps=1e-5, name="bn1")(x, c_mask, train))
             return x
@@ -164,9 +174,10 @@ class PointTransformerSeg(nn.Module):
     in_channels: int = 6
     num_classes: int = 13
     share_planes: int = 8
+    num_shape_classes: Optional[int] = None  # PartSeg: category-conditioned head
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool = False):
+    def __call__(self, pb: PointBatch, train: bool = False, category=None):
         planes = (32, 64, 128, 256, 512)
         stride = (1, 4, 4, 4, 4)
         nsample = (8, 16, 16, 16, 16)
@@ -187,7 +198,9 @@ class PointTransformerSeg(nn.Module):
 
         # decoder
         c5 = stages[4]
-        x5 = TransitionUp(name="dec5_up")(c5, None, num_scenes, train)
+        x5 = TransitionUp(num_shape_classes=self.num_shape_classes, name="dec5_up")(
+            c5, None, num_scenes, train, category=category
+        )
         x5 = Bottleneck(planes[4], self.share_planes, nsample[4], name="dec5_block0")(
             c5[0], x5, c5[2], c5[3], train
         )
@@ -241,6 +254,14 @@ class PointTransformerCls(nn.Module):
         return logits
 
 
+def _make_variant(name, base, **overrides):
+    """Subclass with proper dataclass annotations (plain class attrs are NOT
+    picked up as flax dataclass field defaults)."""
+    ns = {"__annotations__": {k: type(v) if not isinstance(v, tuple) else Sequence[int] for k, v in overrides.items()}}
+    ns.update(overrides)
+    return type(name.replace("-", ""), (base,), ns)
+
+
 def _register_variants():
     seg_variants = {
         "PointTransformer-Seg26": (1, 1, 1, 1, 1),
@@ -248,9 +269,16 @@ def _register_variants():
         "PointTransformer-Seg50": (1, 2, 3, 5, 2),
     }
     for name, blocks in seg_variants.items():
+        MODELS.register_module(name=name, module=_make_variant(name, PointTransformerSeg, blocks=blocks))
+    part_variants = {
+        "PointTransformer-PartSeg26": (1, 1, 1, 1, 1),
+        "PointTransformer-PartSeg38": (1, 2, 2, 2, 2),
+        "PointTransformer-PartSeg50": (1, 2, 3, 5, 2),
+    }
+    for name, blocks in part_variants.items():
         MODELS.register_module(
             name=name,
-            module=type(name.replace("-", ""), (PointTransformerSeg,), {"blocks": blocks}),
+            module=_make_variant(name, PointTransformerSeg, blocks=blocks, num_shape_classes=16),
         )
     cls_variants = {
         "PointTransformer-Cls26": (1, 1, 1, 1, 1),
@@ -258,10 +286,7 @@ def _register_variants():
         "PointTransformer-Cls50": (1, 2, 3, 5, 2),
     }
     for name, blocks in cls_variants.items():
-        MODELS.register_module(
-            name=name,
-            module=type(name.replace("-", ""), (PointTransformerCls,), {"blocks": blocks}),
-        )
+        MODELS.register_module(name=name, module=_make_variant(name, PointTransformerCls, blocks=blocks))
 
 
 _register_variants()

@@ -233,11 +233,17 @@ _MINK_CHANNELS = {
 }
 for _name, _preset in _MINK_PRESETS.items():
     for _var, _ch in _MINK_CHANNELS.items():
+        # NOTE: overrides must carry annotations, or the flax dataclass
+        # transform ignores them and the variant silently keeps base defaults
         MODELS.register_module(
             name=f"{_name}{_var}",
             module=type(
                 f"{_name}{_var}",
                 (SpUNetBase,),
-                {"layers": _preset["layers"], "channels": _ch},
+                {
+                    "__annotations__": {"layers": Sequence[int], "channels": Sequence[int]},
+                    "layers": _preset["layers"],
+                    "channels": _ch,
+                },
             ),
         )

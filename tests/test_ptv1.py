@@ -38,3 +38,37 @@ def test_ptv1_cls_forward():
     logits = model.apply(variables, pb, train=False)
     assert logits.shape == (2, 40)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_variant_overrides_apply():
+    # regression: type()-built variants must actually override flax defaults
+    from pointcept_tpu.models import build_model
+
+    assert build_model(dict(type="PointTransformer-Seg26", in_channels=6, num_classes=5)).blocks == (1, 1, 1, 1, 1)
+    assert build_model(dict(type="MinkUNet14A", in_channels=6, num_classes=5)).layers == (1, 1, 1, 1, 1, 1, 1, 1)
+    m = build_model(dict(type="PointTransformer-PartSeg26", in_channels=6, num_classes=50))
+    assert m.num_shape_classes == 16
+
+
+def test_partseg_category_conditioning():
+    import jax
+    import jax.numpy as jnp
+    from pointcept_tpu.engines.train import make_point_batch
+    from pointcept_tpu.models import build_model
+
+    rng = np.random.RandomState(0)
+    cap, n = 128, 100
+    coord = np.zeros((cap, 3), np.float32); coord[:n] = rng.rand(n, 3)
+    feat = np.zeros((cap, 6), np.float32); feat[:n] = rng.randn(n, 6)
+    batch = np.full(cap, -1, np.int32); batch[:n] = 0
+    pb = make_point_batch(dict(coord=jnp.asarray(coord), feat=jnp.asarray(feat),
+                               batch=jnp.asarray(batch)), 1)
+    model = build_model(dict(type="PointTransformer-PartSeg26", in_channels=6, num_classes=50))
+    cat = jnp.zeros((1,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), pb, train=False, category=cat)
+    out = model.apply(params, pb, train=False, category=cat)
+    logits = out.feat if hasattr(out, "feat") else out
+    assert logits.shape == (cap, 50)
+    out2 = model.apply(params, pb, train=False, category=jnp.full((1,), 7, jnp.int32))
+    l2 = out2.feat if hasattr(out2, "feat") else out2
+    assert not np.allclose(np.asarray(logits), np.asarray(l2))  # category changes output
