@@ -162,6 +162,8 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional
             m = hyper.get("momentum", jnp.asarray(0.996))
             new_params = dict(new_params)
             for tk, sk in ema_pairs.items():
+                if sk is None:  # frozen (non-EMA) teacher, e.g. Sonata-v1m3 distill
+                    continue
                 new_params[tk] = jax.tree_util.tree_map(
                     lambda t, s: m * t + (1 - m) * s, new_params[tk], new_params[sk]
                 )
@@ -373,6 +375,8 @@ class Trainer(TrainerBase):
             # copy student weights into the teacher (reference `:182-184`)
             params = dict(params)
             for tk, sk in ema_pairs.items():
+                if sk is None:  # frozen teacher keeps its own (loaded) weights
+                    continue
                 params[tk] = jax.tree_util.tree_map(lambda x: x, params[sk])
         tx = build_optimizer(
             dict(self.cfg.optimizer), params, self.scheduler, self.cfg.get("param_dicts")

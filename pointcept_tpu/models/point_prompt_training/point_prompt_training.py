@@ -137,3 +137,94 @@ class PointPromptTrainingDecoupled(nn.Module):
         if pb.segment is not None:
             result["loss"] = self.criteria_fn(seg_logits, pb.segment)
         return result
+
+
+DEFAULT_NEO_CLASS_NAMES = (
+    ("wall", "floor", "cabinet", "bed", "chair",
+     "sofa", "table", "door", "window", "picture",
+     "desk", "shelves", "curtain", "dresser", "pillow",
+     "mirror", "ceiling", "refrigerator", "television", "nightstand",
+     "sink", "lamp", "otherstructure", "otherfurniture", "otherprop"),
+    ("wall", "floor", "cabinet", "bed", "chair",
+     "sofa", "table", "door", "window", "bookshelf",
+     "picture", "counter", "desk", "curtain", "refridgerator",
+     "shower curtain", "toilet", "sink", "bathtub", "otherfurniture"),
+    ("ceiling", "floor", "wall", "beam", "column",
+     "window", "door", "table", "chair", "sofa",
+     "bookcase", "board", "clutter"),
+)
+
+
+@MODELS.register_module("PPT-v1m3")
+class PointPromptTrainingNeo(nn.Module):
+    """PPT-v1m3 "neo" (reference point_prompt_training_v1m3_neo.py:23): the
+    class vocabulary is a PER-CONDITION list (no shared merged list /
+    valid_index), with freeze_backbone, backbone_mode and up-cast concat for
+    enc-mode backbones. CLIP text embeddings load from
+    `class_embedding_path` (offline export); else a trainable table."""
+
+    backbone: Any = None
+    criteria: Any = None
+    backbone_out_channels: int = 96
+    conditions: Sequence[str] = ("Structured3D", "ScanNet", "S3DIS")
+    template: str = "[x]"
+    clip_model: str = "ViT-B/16"
+    class_names: Sequence[Sequence[str]] = DEFAULT_NEO_CLASS_NAMES
+    freeze_backbone: bool = False
+    backbone_mode: bool = False
+    class_embedding_path: Optional[str] = None
+    text_dim: int = 512
+
+    def setup(self):
+        assert len(self.conditions) == len(self.class_names)
+        self.backbone_module = build_model(dict(self.backbone))
+        self.criteria_fn = build_criteria(self.criteria)
+        self.num_classes_per = [len(c) for c in self.class_names]
+        total = sum(self.num_classes_per)
+        if not self.backbone_mode:
+            if self.class_embedding_path and os.path.isfile(self.class_embedding_path):
+                emb = np.load(self.class_embedding_path).astype(np.float32)
+                assert emb.shape[0] == total
+                self.class_embedding = lambda: jnp.asarray(emb)
+            else:
+                table = self.param(
+                    "class_embedding",
+                    nn.initializers.normal(0.02),
+                    (total, self.text_dim),
+                )
+                self.class_embedding = lambda: table / jnp.linalg.norm(table, axis=-1, keepdims=True)
+            self.proj_head = nn.Dense(self.text_dim)
+            self.logit_scale = self.param(
+                "logit_scale", lambda key: jnp.asarray(np.log(1.0 / 0.07), jnp.float32)
+            )
+
+    def __call__(self, pb: PointBatch, train: bool = False):
+        condition = pb.condition
+        assert condition in self.conditions, f"unknown condition {condition}"
+        idx = self.conditions.index(condition)
+        point = self.backbone_module(pb, train)
+        if isinstance(point, tuple):  # enc-mode: up-cast concat
+            out_pb, skips = point
+            feat = out_pb.feat
+            for skip_pb, cluster, _ctx in reversed(list(skips)):
+                m = feat.shape[0]
+                up = feat[jnp.minimum(cluster, m - 1)]
+                up = jnp.where((cluster < m)[:, None], up, 0)
+                feat = jnp.concatenate([skip_pb.feat, up], axis=-1)
+                out_pb = skip_pb.replace(feat=feat)
+            point = out_pb
+        feat = point.feat if isinstance(point, PointBatch) else point
+        if self.freeze_backbone:
+            feat = jax.lax.stop_gradient(feat)
+        if self.backbone_mode:
+            return point
+        feat = self.proj_head(feat)
+        feat = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-8)
+        start = sum(self.num_classes_per[:idx])
+        emb = self.class_embedding()[start : start + self.num_classes_per[idx]]
+        sim = feat @ emb.T
+        seg_logits = jnp.exp(self.logit_scale) * sim
+        result = {"seg_logits": seg_logits}
+        if pb.segment is not None:
+            result["loss"] = self.criteria_fn(seg_logits, pb.segment)
+        return result

@@ -32,6 +32,9 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+conv_kernel_init_ptv2 = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
 class PointBN(nn.Module):
     """PointBatchNorm (reference `:28-45`): BN over channels; supports [N,C] and
     [N,S,C] (flattened)."""
@@ -55,6 +58,7 @@ class GroupedVectorAttention(nn.Module):
     qkv_bias: bool = True
     pe_multiplier: bool = False
     pe_bias: bool = True
+    grouped_linear: bool = False  # v2m1 origin: GroupedLinear weight encoding
 
     @nn.compact
     def __call__(self, feat, coord, ref_idx, mask, train: bool):
@@ -82,7 +86,13 @@ class GroupedVectorAttention(nn.Module):
             relation = relation + peb
             value = value + peb
 
-        w = nn.Dense(g, name="we_fc1")(relation)
+        if self.grouped_linear:
+            # v2m1 GroupedLinear (reference v2m1_origin.py:24-62): per-channel
+            # scale then per-group sum -> [.., groups]
+            gw = self.param("we_grouped_weight", conv_kernel_init_ptv2, (1, c))
+            w = (relation * gw).reshape(*relation.shape[:-1], g, c // g).sum(-1)
+        else:
+            w = nn.Dense(g, name="we_fc1")(relation)
         w = nn.relu(PointBN(name="we_norm")(w, mask, train))
         w = nn.Dense(g, name="we_fc2")(w)  # [N, s, g]
         w = jax.nn.softmax(w.astype(jnp.float32), axis=1).astype(feat.dtype)
@@ -102,6 +112,7 @@ class PTv2Block(nn.Module):
     qkv_bias: bool = True
     pe_multiplier: bool = False
     pe_bias: bool = True
+    grouped_linear: bool = False
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
 
@@ -117,6 +128,7 @@ class PTv2Block(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             pe_multiplier=self.pe_multiplier,
             pe_bias=self.pe_bias,
+            grouped_linear=self.grouped_linear,
             name="attn",
         )(x, coord, ref_idx, mask, train)
         x = nn.relu(PointBN(name="norm2")(x, mask, train))
@@ -134,6 +146,7 @@ class BlockSequence(nn.Module):
     qkv_bias: bool = True
     pe_multiplier: bool = False
     pe_bias: bool = True
+    grouped_linear: bool = False
     attn_drop_rate: float = 0.0
     drop_path_rates: Sequence[float] = ()
 
@@ -148,6 +161,7 @@ class BlockSequence(nn.Module):
                 qkv_bias=self.qkv_bias,
                 pe_multiplier=self.pe_multiplier,
                 pe_bias=self.pe_bias,
+                grouped_linear=self.grouped_linear,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rate=dp,
                 name=f"block{i}",
@@ -236,6 +250,7 @@ class PointTransformerV2(nn.Module):
     attn_qkv_bias: bool = True
     pe_multiplier: bool = False
     pe_bias: bool = True
+    grouped_linear: bool = False
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     enable_checkpoint: bool = False  # parity no-op
@@ -261,6 +276,7 @@ class PointTransformerV2(nn.Module):
             qkv_bias=self.attn_qkv_bias,
             pe_multiplier=self.pe_multiplier,
             pe_bias=self.pe_bias,
+            grouped_linear=self.grouped_linear,
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rates=(0.0,) * self.patch_embed_depth,
             name="patch_embed",
@@ -289,6 +305,7 @@ class PointTransformerV2(nn.Module):
                 qkv_bias=self.attn_qkv_bias,
                 pe_multiplier=self.pe_multiplier,
                 pe_bias=self.pe_bias,
+                grouped_linear=self.grouped_linear,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rates=enc_dp[sum(self.enc_depths[:i]) : sum(self.enc_depths[: i + 1])],
                 name=f"enc{i}_blocks",
@@ -311,6 +328,7 @@ class PointTransformerV2(nn.Module):
                 qkv_bias=self.attn_qkv_bias,
                 pe_multiplier=self.pe_multiplier,
                 pe_bias=self.pe_bias,
+                grouped_linear=self.grouped_linear,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rates=dec_dp[sum(self.dec_depths[:i]) : sum(self.dec_depths[: i + 1])],
                 name=f"dec{i}_blocks",
@@ -323,3 +341,12 @@ class PointTransformerV2(nn.Module):
             h = nn.relu(PointBN(name="seg_head_norm")(h, mask, train))
             feat = nn.Dense(self.num_classes, name="seg_head_fc2")(h)
         return pb.replace(feat=feat)
+
+
+@MODELS.register_module("PT-v2m1")
+class PointTransformerV2M1(PointTransformerV2):
+    """v2m1 "origin" (reference point_transformer_v2m1_origin.py): identical to
+    v2m2 except the vector-attention weight encoding starts with a
+    GroupedLinear (per-channel scale + group sum) instead of a full Linear."""
+
+    grouped_linear: bool = True

@@ -106,6 +106,7 @@ class Sonata(nn.Module):
     match_max_r: float = 0.08
     up_cast_level: int = 2
     sync_axis: Optional[str] = None
+    uni_teacher_head: bool = False  # v1m2: one shared teacher head for mask+unmask
 
     # teacher subtrees: EMA-tracked copies of student subtrees; the trainer
     # masks them out of the optimizer and EMA-updates them after each step
@@ -270,7 +271,12 @@ class Sonata(nn.Module):
                 losses.append(roll_loss * self.roll_mask_loss_weight)
 
         if self.unmask_loss_weight > 0:
-            t_unmask_sim = jax.lax.stop_gradient(self.teacher_unmask_head(teacher_feat))
+            unmask_teacher = (
+                self.teacher_mask_head
+                if self.uni_teacher_head and (self.mask_loss_weight > 0 or self.roll_mask_loss_weight > 0)
+                else self.teacher_unmask_head
+            )
+            t_unmask_sim = jax.lax.stop_gradient(unmask_teacher(teacher_feat))
 
             l_out, l_skips = self.backbone_module(l_pb.replace(origin_coord=l_origin), train)
             lp = self.up_cast(l_out, list(l_skips))
@@ -300,3 +306,54 @@ class Sonata(nn.Module):
     def extra_losses(self, data, aux, result, losses, train):
         """Extension hook for subclasses (Concerto enc2d branch)."""
         return
+
+
+@MODELS.register_module("Sonata-v1m2")
+class SonataUniTeacherHead(Sonata):
+    """Reference sonata_v1m2_uni_teacher_head.py: the teacher uses ONE shared
+    head (the mask head) for both masked and unmasked targets; the unmask
+    teacher head still exists and is EMA-updated (a dummy) for checkpoint
+    compatibility."""
+
+    uni_teacher_head: bool = True
+
+    ema_pairs = dict(Sonata.ema_pairs)
+
+
+@MODELS.register_module("Sonata-v1m3")
+class SonataDistill(Sonata):
+    """Reference sonata_v1m3_distill.py: distillation from a FROZEN pretrained
+    teacher with a (possibly different) architecture — separate backbone_s /
+    backbone_t configs, no EMA (reference after_step is a no-op, teacher
+    requires_grad=False). Teacher weights come from the checkpoint loader.
+    `ema_pairs` values of None mean: exclude from the optimizer but do NOT
+    EMA-update or init-copy."""
+
+    backbone_s: Any = None
+    backbone_t: Any = None
+    head_in_channels_s: int = 0  # parity fields; head input dims are inferred
+    head_in_channels_t: int = 0
+
+    ema_pairs = {
+        "teacher_backbone": None,
+        "teacher_mask_head": None,
+        "teacher_unmask_head": None,
+    }
+
+    def setup(self):
+        student_cfg = dict(self.backbone_s if self.backbone_s is not None else self.backbone)
+        teacher_cfg = dict(self.backbone_t if self.backbone_t is not None else self.backbone)
+        self.backbone_module = build_model(student_cfg)
+        self.teacher_backbone = build_model(teacher_cfg)
+        self.mask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="mask_head"
+        )
+        self.unmask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="unmask_head"
+        )
+        self.teacher_mask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="teacher_mask_head"
+        )
+        self.teacher_unmask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="teacher_unmask_head"
+        )

@@ -49,3 +49,25 @@ def test_ptv2_forward_and_grad():
     norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(n > 0 for n in norms) > len(norms) * 0.85
+
+
+def test_ptv2m1_grouped_linear_forward():
+    import jax
+    from pointcept_tpu.models import build_model
+
+    model = build_model(dict(
+        type="PT-v2m1", in_channels=6, num_classes=5,
+        patch_embed_depth=1, patch_embed_channels=8, patch_embed_groups=2,
+        patch_embed_neighbours=4, enc_depths=(1,), enc_channels=(16,),
+        enc_groups=(4,), enc_neighbours=(4,), dec_depths=(1,), dec_channels=(8,),
+        dec_groups=(2,), dec_neighbours=(4,), grid_sizes=(0.2,),
+        pool_capacity_factors=(0.75,),
+    ))
+    pb = make_batch([100, 60], capacity=192, num_classes=13)
+    params = model.init(jax.random.PRNGKey(0), pb, train=False)
+    names = [str(kp) for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    assert any("we_grouped_weight" in n for n in names)
+    assert not any("we_fc1" in n for n in names)
+    out = model.apply(params, pb, train=False)
+    logits = out.feat if hasattr(out, "feat") else out
+    assert np.isfinite(np.asarray(logits)[np.asarray(pb.mask)]).all()
