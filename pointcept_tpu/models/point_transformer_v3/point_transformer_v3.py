@@ -125,9 +125,14 @@ class SerializedAttention(nn.Module):
     order_index: int = 0
     enable_rpe: bool = False
     lora_rank: int = 0  # >0: low-rank adapter on qkv (reference DefaultLORASegmentorV2)
+    # v3m3 (utonia) 3D RoPE on q/k (reference v3m3_utonia.py Point3DRoPE + :275-305)
+    rope_base: Optional[float] = None
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None
 
     @nn.compact
-    def __call__(self, feat, grid_coord, partition, train: bool) -> jnp.ndarray:
+    def __call__(self, feat, grid_coord, partition, train: bool, coord=None) -> jnp.ndarray:
         c = self.channels
         h = self.num_heads
         scale = self.qk_scale or (c // h) ** -0.5
@@ -137,6 +142,36 @@ class SerializedAttention(nn.Module):
             a = self.param("lora_a", nn.initializers.normal(0.02), (c, self.lora_rank))
             b = self.param("lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c))
             qkv = qkv + (feat @ a) @ b
+        if self.rope_base and coord is not None:
+            from pointcept_tpu.ops.pointrope import point_rope
+
+            rope_coord = coord
+            if train and self.has_rng("dropout"):
+                key = self.make_rng("dropout")
+                k1, k2, k3 = jax.random.split(key, 3)
+                if self.shift_coords is not None and self.shift_coords > 0:
+                    rope_coord = rope_coord + jax.random.uniform(
+                        k1, (1, 3), minval=-self.shift_coords, maxval=self.shift_coords
+                    )
+                if self.jitter_coords is not None and self.jitter_coords > 1.0:
+                    jm = math.log(self.jitter_coords)
+                    rope_coord = rope_coord * jnp.exp(
+                        jax.random.uniform(k2, (1, 3), minval=-jm, maxval=jm)
+                    )
+                if self.rescale_coords is not None and self.rescale_coords > 1.0:
+                    rm = math.log(self.rescale_coords)
+                    rope_coord = rope_coord * jnp.exp(
+                        jax.random.uniform(k3, (1, 1), minval=-rm, maxval=rm)
+                    )
+            n = feat.shape[0]
+            qkv4 = qkv.reshape(n, 3, h, c // h)
+            # point_rope expects [..., H, K, D]; treat points as the K axis
+            q = qkv4[:, 0].transpose(1, 0, 2)[None]  # [1, H, N, D]
+            k = qkv4[:, 1].transpose(1, 0, 2)[None]
+            pos = rope_coord[None]  # [1, N, 3]
+            q = point_rope(q, pos, freq=self.rope_base)[0].transpose(1, 0, 2)
+            k = point_rope(k, pos, freq=self.rope_base)[0].transpose(1, 0, 2)
+            qkv = jnp.stack([q, k, qkv4[:, 2]], axis=1).reshape(n, 3 * c)
         bias = None
         if self.enable_rpe:
             k = self.patch_size
@@ -175,6 +210,10 @@ class Block(nn.Module):
     pd: PDCfg = None
     lora_rank: int = 0
     layer_scale: Optional[float] = None  # v3m2 LayerScale init value (sonata `:27-40`)
+    rope_base: Optional[float] = None
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr3, partition, train: bool) -> PointBatch:
@@ -205,8 +244,12 @@ class Block(nn.Module):
             order_index=self.order_index,
             enable_rpe=self.enable_rpe,
             lora_rank=self.lora_rank,
+            rope_base=self.rope_base,
+            shift_coords=self.shift_coords,
+            jitter_coords=self.jitter_coords,
+            rescale_coords=self.rescale_coords,
             name="attn",
-        )(x, pb.grid_coord, partition, train)
+        )(x, pb.grid_coord, partition, train, coord=pb.coord)
         x = DropPath(self.drop_path, name="drop_path1")(ls("ls1_gamma", x), train)
         feat = shortcut + x
         if not self.pre_norm:
@@ -415,6 +458,11 @@ class PointTransformerV3(nn.Module):
     embed_mode: str = "conv"  # "linear" = v3m2 Linear+LN stem
     mask_token: bool = False
     layer_scale: Optional[float] = None
+    # v3m3 (utonia) options
+    rope_base: Optional[float] = None
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False, patch_mask=None) -> PointBatch:
@@ -497,6 +545,10 @@ class PointTransformerV3(nn.Module):
                     pd=pd,
                     lora_rank=self.lora_rank,
                     layer_scale=self.layer_scale,
+                    rope_base=self.rope_base,
+                    shift_coords=self.shift_coords,
+                    jitter_coords=self.jitter_coords,
+                    rescale_coords=self.rescale_coords,
                     name=f"enc{s}_block{i}",
                 )(pb, stage_ctx["nbr3"], stage_ctx["parts"][i % s_orders], train)
 
@@ -525,6 +577,10 @@ class PointTransformerV3(nn.Module):
                         pd=pd,
                         lora_rank=self.lora_rank,
                         layer_scale=self.layer_scale,
+                        rope_base=self.rope_base,
+                        shift_coords=self.shift_coords,
+                        jitter_coords=self.jitter_coords,
+                        rescale_coords=self.rescale_coords,
                         name=f"dec{s}_block{i}",
                     )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
             return pb
@@ -541,3 +597,16 @@ class PointTransformerV3M2(PointTransformerV3):
     embed_mode: str = "linear"
     mask_token: bool = False
     layer_scale: Optional[float] = None
+
+
+@MODELS.register_module("PT-v3m3")
+class PointTransformerV3M3(PointTransformerV3M2):
+    """Utonia variant (reference point_transformer_v3m3_utonia.py): v3m2 plus
+    3D RoPE on q/k with optional train-time coordinate shift/jitter/rescale
+    augmentation of the RoPE positions. Head dims must be divisible by 6
+    (three axis chunks of rotation pairs)."""
+
+    rope_base: Optional[float] = 10000.0
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None

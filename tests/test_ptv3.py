@@ -171,3 +171,40 @@ def test_ptv3m2_layer_scale_and_mask_token():
                           rngs={"dropout": jax.random.PRNGKey(1), "shuffle": jax.random.PRNGKey(2)},
                           mutable=["batch_stats"])
     assert not np.allclose(np.asarray(out.feat), np.asarray(out2.feat))
+
+
+def test_ptv3m3_rope_forward():
+    import jax
+    import jax.numpy as jnp
+    from pointcept_tpu.engines.train import make_point_batch
+    from pointcept_tpu.models import build_model
+
+    rng = np.random.RandomState(0)
+    cap, n = 256, 180
+    coord = np.zeros((cap, 3), np.float32); coord[:n] = rng.rand(n, 3) * 2
+    grid = (coord / 0.05).astype(np.int32)
+    feat = np.zeros((cap, 6), np.float32); feat[:n] = rng.randn(n, 6)
+    batch = np.full(cap, -1, np.int32); batch[:n] = 0
+    pb = make_point_batch(dict(coord=jnp.asarray(coord), grid_coord=jnp.asarray(grid),
+                               feat=jnp.asarray(feat), batch=jnp.asarray(batch)), 1)
+    model = build_model(dict(
+        type="PT-v3m3", in_channels=6, order=("z",), stride=(2,),
+        enc_depths=(1, 1), enc_channels=(24, 48), enc_num_head=(2, 4),
+        enc_patch_size=(32, 32), dec_depths=(1,), dec_channels=(24,),
+        dec_num_head=(2,), dec_patch_size=(32,), serialize_depth=8,
+        pool_capacity_factors=(0.5,), shift_coords=2.0, jitter_coords=1.2,
+    ))
+    params = model.init(jax.random.PRNGKey(0), pb, train=False)
+    out = model.apply(params, pb, train=False)
+    assert np.isfinite(np.asarray(out.feat)[np.asarray(pb.mask)]).all()
+    # translating the whole cloud leaves RoPE attention invariant up to the
+    # bf16 phase precision of the attention path
+    pb2 = pb.replace(coord=pb.coord + 5.0)
+    out2 = model.apply(params, pb2, train=False)
+    m = np.asarray(pb.mask)
+    diff = np.abs(np.asarray(out.feat) - np.asarray(out2.feat))[m]
+    assert diff.max() < 0.05 and diff.mean() < 5e-3
+    # and RoPE is actually active: scaling coords 3x changes outputs materially
+    out3 = model.apply(params, pb.replace(coord=pb.coord * 3.0), train=False)
+    diff3 = np.abs(np.asarray(out.feat) - np.asarray(out3.feat))[m]
+    assert diff3.max() > diff.max() * 3
