@@ -126,3 +126,43 @@ class Concerto(Sonata):
             feat = jnp.concatenate([skip_pb.feat, up], axis=-1)
             pb = skip_pb.replace(feat=feat)
         return pb
+
+
+@MODELS.register_module("Concerto-v1m2_distill")
+class ConcertoDistill(Concerto):
+    """Reference concerto_v1m2_distill.py: Concerto with a FROZEN pretrained
+    teacher of a (possibly different) architecture — separate backbone_s /
+    backbone_t, no EMA (ema_pairs values of None freeze without updating)."""
+
+    backbone_s: Any = None
+    backbone_t: Any = None
+    head_in_channels_s: int = 0  # parity fields; dims are inferred lazily
+    head_in_channels_t: int = 0
+
+    ema_pairs = {
+        "teacher_backbone": None,
+        "teacher_mask_head": None,
+        "teacher_unmask_head": None,
+    }
+
+    def setup(self):
+        from pointcept_tpu.models.builder import build_model
+        from pointcept_tpu.models.sonata.sonata import OnlineCluster
+
+        student_cfg = dict(self.backbone_s if self.backbone_s is not None else self.backbone)
+        teacher_cfg = dict(self.backbone_t if self.backbone_t is not None else self.backbone)
+        self.backbone_module = build_model(student_cfg)
+        self.teacher_backbone = build_model(teacher_cfg)
+        self.mask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="mask_head"
+        )
+        self.unmask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="unmask_head"
+        )
+        self.teacher_mask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="teacher_mask_head"
+        )
+        self.teacher_unmask_head = OnlineCluster(
+            self.head_hidden_channels, self.head_embed_channels, self.head_num_prototypes, name="teacher_unmask_head"
+        )
+        self.patch_proj = nn.Dense(self.enc2d_in_channels, name="patch_proj")

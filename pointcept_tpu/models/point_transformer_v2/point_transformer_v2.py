@@ -106,6 +106,24 @@ class GroupedVectorAttention(nn.Module):
         return out
 
 
+
+
+def _block_norm(name, pd, x, mask, train, condition=None, context=None):
+    """Block/pool-level norm: plain PointBN, or PDNorm when a pd config is set
+    (reference v2m3_pdnorm.py: only Block/GridPool/Unpool norms are prompted)."""
+    if pd is not None:
+        from pointcept_tpu.models.modules import PDNorm
+
+        return PDNorm(
+            conditions=tuple(pd["conditions"]),
+            decouple=pd.get("decouple", True),
+            adaptive=pd.get("adaptive", False),
+            norm_type="bn",
+            name=name,
+        )(x, mask, train, condition, context)
+    return PointBN(name=name)(x, mask, train)
+
+
 class PTv2Block(nn.Module):
     embed_channels: int
     groups: int
@@ -115,12 +133,13 @@ class PTv2Block(nn.Module):
     grouped_linear: bool = False
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    pd: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, coord, feat, mask, ref_idx, train: bool):
+    def __call__(self, coord, feat, mask, ref_idx, train: bool, condition=None, context=None):
         identity = feat
         x = nn.Dense(self.embed_channels, use_bias=False, name="fc1")(feat)
-        x = nn.relu(PointBN(name="norm1")(x, mask, train))
+        x = nn.relu(_block_norm("norm1", self.pd, x, mask, train, condition, context))
         x = GroupedVectorAttention(
             embed_channels=self.embed_channels,
             groups=self.groups,
@@ -131,9 +150,9 @@ class PTv2Block(nn.Module):
             grouped_linear=self.grouped_linear,
             name="attn",
         )(x, coord, ref_idx, mask, train)
-        x = nn.relu(PointBN(name="norm2")(x, mask, train))
+        x = nn.relu(_block_norm("norm2", self.pd, x, mask, train, condition, context))
         x = nn.Dense(self.embed_channels, use_bias=False, name="fc3")(x)
-        x = PointBN(name="norm3")(x, mask, train)
+        x = _block_norm("norm3", self.pd, x, mask, train, condition, context)
         x = DropPath(self.drop_path_rate, name="drop_path")(x, train)
         return nn.relu(identity + x)
 
@@ -149,9 +168,10 @@ class BlockSequence(nn.Module):
     grouped_linear: bool = False
     attn_drop_rate: float = 0.0
     drop_path_rates: Sequence[float] = ()
+    pd: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, coord, feat, batch, mask, train: bool):
+    def __call__(self, coord, feat, batch, mask, train: bool, condition=None, context=None):
         ref_idx, _ = knn_query(self.neighbours, coord, jnp.where(mask, batch, -1))
         for i in range(self.depth):
             dp = self.drop_path_rates[i] if i < len(self.drop_path_rates) else 0.0
@@ -164,8 +184,9 @@ class BlockSequence(nn.Module):
                 grouped_linear=self.grouped_linear,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rate=dp,
+                pd=self.pd,
                 name=f"block{i}",
-            )(coord, feat, mask, ref_idx, train)
+            )(coord, feat, mask, ref_idx, train, condition, context)
         return feat
 
 
@@ -176,13 +197,14 @@ class GridPool(nn.Module):
     grid_size: float
     out_capacity: int
     num_scenes: int = 64
+    pd: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, coord, feat, batch, mask, train: bool):
+    def __call__(self, coord, feat, batch, mask, train: bool, condition=None, context=None):
         m = self.out_capacity
         n = coord.shape[0]
         feat = nn.Dense(self.out_channels, use_bias=False, name="fc")(feat)
-        feat = nn.relu(PointBN(name="norm")(feat, mask, train))
+        feat = nn.relu(_block_norm("norm", self.pd, feat, mask, train, condition, context))
         # per-batch min (start)
         b = jnp.where(mask, batch, 0)
         big = jnp.float32(1e9)
@@ -212,11 +234,13 @@ class UnpoolWithSkip(nn.Module):
     out_channels: int
     skip: bool = True
     backend: str = "map"
+    pd: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, coord, feat, batch, mask, skip_coord, skip_feat, skip_batch, skip_mask, cluster, train: bool):
+    def __call__(self, coord, feat, batch, mask, skip_coord, skip_feat, skip_batch, skip_mask, cluster, train: bool,
+                 condition=None, context=None):
         x = nn.Dense(self.out_channels, name="proj_fc")(feat)
-        x = nn.relu(PointBN(name="proj_norm")(x, mask, train))
+        x = nn.relu(_block_norm("proj_norm", self.pd, x, mask, train, condition, context))
         if self.backend == "map" and cluster is not None:
             mcap = feat.shape[0]
             up = x[jnp.minimum(cluster, mcap - 1)]
@@ -225,7 +249,7 @@ class UnpoolWithSkip(nn.Module):
             up = interpolation(coord, jnp.where(mask, batch, -1), x, skip_coord, jnp.where(skip_mask, skip_batch, -1))
         if self.skip:
             s = nn.Dense(self.out_channels, name="skip_fc")(skip_feat)
-            s = nn.relu(PointBN(name="skip_norm")(s, skip_mask, train))
+            s = nn.relu(_block_norm("skip_norm", self.pd, s, skip_mask, train, condition, context))
             up = up + s
         return up
 
@@ -256,11 +280,23 @@ class PointTransformerV2(nn.Module):
     enable_checkpoint: bool = False  # parity no-op
     unpool_backend: str = "map"
     pool_capacity_factors: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
+    # v2m3 pdnorm options
+    conditions: Sequence[str] = ()
+    norm_decouple: bool = True
+    norm_adaptive: bool = False
+    norm_affine: bool = True  # parity no-op (norms are always affine here)
+    context_channels: int = 256  # parity field (context arrives via pb.context)
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False):
         num_stages = len(self.enc_depths)
         coord, feat, batch, mask = pb.coord, pb.feat, pb.batch, pb.mask
+        pd = (
+            dict(conditions=tuple(self.conditions), decouple=self.norm_decouple, adaptive=self.norm_adaptive)
+            if len(self.conditions) > 0
+            else None
+        )
+        condition, context = pb.condition, pb.context
 
         enc_dp = np.linspace(0, self.drop_path_rate, sum(self.enc_depths)).tolist()
         dec_dp = np.linspace(0, self.drop_path_rate, sum(self.dec_depths)).tolist()
@@ -279,8 +315,9 @@ class PointTransformerV2(nn.Module):
             grouped_linear=self.grouped_linear,
             attn_drop_rate=self.attn_drop_rate,
             drop_path_rates=(0.0,) * self.patch_embed_depth,
+            pd=pd,
             name="patch_embed",
-        )(coord, x, batch, mask, train)
+        )(coord, x, batch, mask, train, condition, context)
 
         skips = []
         cap = pb.capacity
@@ -294,8 +331,9 @@ class PointTransformerV2(nn.Module):
                 grid_size=self.grid_sizes[i],
                 out_capacity=cap,
                 num_scenes=pb.num_scenes,
+                pd=pd,
                 name=f"enc{i}_down",
-            )(c0, f0, b0, m0, train)
+            )(c0, f0, b0, m0, train, condition, context)
             skips[-1] = skips[-1] + (cluster,)
             nf = BlockSequence(
                 depth=self.enc_depths[i],
@@ -308,8 +346,9 @@ class PointTransformerV2(nn.Module):
                 grouped_linear=self.grouped_linear,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rates=enc_dp[sum(self.enc_depths[:i]) : sum(self.enc_depths[: i + 1])],
+                pd=pd,
                 name=f"enc{i}_blocks",
-            )(nc, nf, nb, nm, train)
+            )(nc, nf, nb, nm, train, condition, context)
             state = (nc, nf, nb, nm)
 
         for i in reversed(range(num_stages)):
@@ -318,8 +357,9 @@ class PointTransformerV2(nn.Module):
             up = UnpoolWithSkip(
                 out_channels=self.dec_channels[i],
                 backend=self.unpool_backend,
+                pd=pd,
                 name=f"dec{i}_up",
-            )(c1, f1, b1, m1, sc, sf, sb, sm, cluster, train)
+            )(c1, f1, b1, m1, sc, sf, sb, sm, cluster, train, condition, context)
             up = BlockSequence(
                 depth=self.dec_depths[i],
                 embed_channels=self.dec_channels[i],
@@ -331,8 +371,9 @@ class PointTransformerV2(nn.Module):
                 grouped_linear=self.grouped_linear,
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rates=dec_dp[sum(self.dec_depths[:i]) : sum(self.dec_depths[: i + 1])],
+                pd=pd,
                 name=f"dec{i}_blocks",
-            )(sc, up, sb, sm, train)
+            )(sc, up, sb, sm, train, condition, context)
             state = (sc, up, sb, sm)
 
         coord, feat, batch, mask = state
@@ -350,3 +391,15 @@ class PointTransformerV2M1(PointTransformerV2):
     GroupedLinear (per-channel scale + group sum) instead of a full Linear."""
 
     grouped_linear: bool = True
+
+
+@MODELS.register_module("PT-v2m3")
+class PointTransformerV2M3(PointTransformerV2):
+    """v2m3 PDNorm variant (reference point_transformer_v2m3_pdnorm.py): the
+    Block / GridPool / Unpool norms become prompt-driven (per-condition BN,
+    optionally adaptive via pb.context); attention-internal norms stay plain
+    like the reference."""
+
+    conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
+    norm_decouple: bool = True
+    norm_adaptive: bool = False

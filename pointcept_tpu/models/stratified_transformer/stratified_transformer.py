@@ -404,3 +404,83 @@ class StratifiedTransformer(nn.Module):
         x = nn.relu(x)
         logits = nn.Dense(self.num_classes, name="cls_fc2")(x)
         return ret_pb.replace(feat=logits) if ret_pb is not None else logits
+
+
+@MODELS.register_module("ST-v1m1")
+class StratifiedTransformerOrigin(nn.Module):
+    """ST-v1m1 "origin" (reference stratified_transformer_v1m1_origin.py:650).
+
+    Adapter over the refined TPU implementation: the origin interface gives
+    per-layer window/quant sizes in metres (window_size[i], quant_sizes[i]),
+    a KPConv stem controlled by stem_transformer, FPS ratio + kNN k, and the
+    same stratified window attention. num_classes lives on the backbone.
+    """
+
+    downsample_scale: int = 4  # parity field (the refined path downsamples by `ratio`)
+    depths: Sequence[int] = (3, 3, 9, 3, 3)
+    channels: Sequence[int] = (48, 96, 192, 384, 384)
+    num_heads: Sequence[int] = (3, 6, 12, 24, 24)
+    window_size: Sequence[float] = (0.1, 0.2, 0.4, 0.8, 1.6)
+    up_k: int = 3
+    grid_sizes: Sequence[float] = (0.02, 0.04, 0.08, 0.16, 0.32)
+    quant_sizes: Sequence[float] = (0.005, 0.01, 0.02, 0.04, 0.08)
+    rel_query: bool = True
+    rel_key: bool = True
+    rel_value: bool = True
+    drop_path_rate: float = 0.3
+    num_layers: int = 5
+    concat_xyz: bool = True
+    num_classes: int = 20
+    ratio: float = 0.25
+    k: int = 16
+    prev_grid_size: float = 0.02
+    sigma: float = 1.0
+    stem_transformer: bool = False
+    kp_ball_radius: float = 0.05
+    kp_max_neighbor: int = 34
+    in_channels: int = 6
+    # TPU knobs
+    patch_size: int = 128
+    slab_size: int = 128
+
+    @nn.compact
+    def __call__(self, pb, train: bool = True):
+        # origin: layer 0 runs at full resolution when stem_transformer, else
+        # the stem downsamples first; map onto the refined module (stem=True
+        # reproduces the stem + downsample arrangement of the origin default)
+        depths = tuple(self.depths if self.stem_transformer else self.depths[1:])
+        channels = tuple(self.channels)
+        heads = tuple(self.num_heads if self.stem_transformer else self.num_heads[1:])
+        window = tuple(self.window_size if self.stem_transformer else self.window_size[1:])
+        quant = tuple(self.quant_sizes if self.stem_transformer else self.quant_sizes[1:])
+        feat_in = self.in_channels + (3 if self.concat_xyz else 0)
+        if self.concat_xyz:
+            coord = pb.coord if not isinstance(pb, dict) else pb["coord"]
+            feat = pb.feat if not isinstance(pb, dict) else pb["feat"]
+            if isinstance(pb, dict):
+                pb = dict(pb, feat=jnp.concatenate([feat, coord], axis=1))
+            else:
+                pb = pb.replace(feat=jnp.concatenate([feat, coord], axis=1))
+        return StratifiedTransformer(
+            in_channels=feat_in,
+            num_classes=self.num_classes,
+            channels=channels[: len(depths) + 1],
+            num_heads=heads,
+            depths=depths,
+            window_size=window,
+            quant_size=quant,
+            down_ratio=self.ratio,
+            down_num_sample=self.k,
+            kp_ball_radius=self.kp_ball_radius,
+            kp_max_neighbor=self.kp_max_neighbor,
+            kp_grid_size=self.prev_grid_size,
+            kp_sigma=self.sigma,
+            drop_path_rate=self.drop_path_rate,
+            rel_query=self.rel_query,
+            rel_key=self.rel_key,
+            rel_value=self.rel_value,
+            stem=not self.stem_transformer,
+            patch_size=self.patch_size,
+            slab_size=self.slab_size,
+            name="st",
+        )(pb, train)

