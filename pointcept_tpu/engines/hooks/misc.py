@@ -74,7 +74,16 @@ class InformationWriter(HookBase):
         self.model_output_keys = []
 
     def before_train(self):
-        self.trainer.writer = None  # tb writer optional; wandb unsupported offline
+        # rank-0 TensorBoard writer (reference train.py:269-282; wandb needs
+        # network egress and stays opt-in/no-op offline)
+        self.trainer.writer = None
+        if comm.is_main_process() and self.trainer.cfg.get("enable_tensorboard", True):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.trainer.writer = SummaryWriter(self.trainer.cfg.save_path)
+            except Exception:
+                self.trainer.writer = None
 
     def before_step(self):
         self.curr_iter += 1
@@ -96,6 +105,10 @@ class InformationWriter(HookBase):
         self.trainer.comm_info["iter_info"] += info
         self.trainer.logger.info(self.trainer.comm_info["iter_info"])
         self.trainer.comm_info["iter_info"] = ""
+        if self.trainer.writer is not None:
+            self.trainer.writer.add_scalar("lr", lr, self.curr_iter)
+            for key, value in metrics.items():
+                self.trainer.writer.add_scalar(f"train_batch/{key}", float(value), self.curr_iter)
         self.trainer.storage.step()
 
 

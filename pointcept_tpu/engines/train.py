@@ -370,6 +370,12 @@ class Trainer(TrainerBase):
         batch_stats = variables.get("batch_stats", {})
         n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
         self.logger.info(f"Num params: {n_params}")
+        if self.cfg.get("sync_bn"):
+            # SyncBN: all MaskedBatchNorms psum their batch stats over the data
+            # axis (reference convert_sync_batchnorm)
+            from pointcept_tpu.models.modules import set_default_bn_sync_axis
+
+            set_default_bn_sync_axis("data")
         ema_pairs = getattr(self.model, "ema_pairs", None)
         if ema_pairs is not None:
             # copy student weights into the teacher (reference `:182-184`)
@@ -392,6 +398,11 @@ class Trainer(TrainerBase):
             tx = optax.masked(tx, not_teacher)
         if self.cfg.get("clip_grad") is not None:
             tx = optax.chain(optax.clip_by_global_norm(self.cfg.clip_grad), tx)
+        accum = int(self.cfg.get("grad_accum_steps", 1) or 1)
+        if accum > 1:
+            # gradient accumulation (reference train.py:198-242's micro-batch
+            # loop) — optax.MultiSteps applies the update every `accum` steps
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
         self.tx = tx
         opt_state = tx.init(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats, opt_state=opt_state)

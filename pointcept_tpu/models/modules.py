@@ -17,6 +17,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# Global SyncBN default: the trainer sets this to the mesh axis name when
+# cfg.sync_bn is enabled (reference convert_sync_batchnorm, train.py:257);
+# individual MaskedBatchNorm instances can still override via sync_axis.
+_DEFAULT_BN_SYNC_AXIS = [None]
+
+
+def set_default_bn_sync_axis(axis):
+    _DEFAULT_BN_SYNC_AXIS[0] = axis
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over valid points only (torch BatchNorm1d semantics)."""
 
@@ -24,6 +34,10 @@ class MaskedBatchNorm(nn.Module):
     eps: float = 1e-3
     affine: bool = True
     sync_axis: Optional[str] = None  # mesh axis name for cross-device stats (SyncBN)
+
+    @property
+    def _sync_axis(self):
+        return self.sync_axis if self.sync_axis is not None else _DEFAULT_BN_SYNC_AXIS[0]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray], train: bool) -> jnp.ndarray:
@@ -39,16 +53,16 @@ class MaskedBatchNorm(nn.Module):
                 mf = mask.astype(jnp.float32)[:, None]
             cnt = jnp.sum(mf)
             s1 = jnp.sum(xf * mf, axis=0)
-            if self.sync_axis is not None:
-                cnt = jax.lax.psum(cnt, self.sync_axis)
-                s1 = jax.lax.psum(s1, self.sync_axis)
+            if self._sync_axis is not None:
+                cnt = jax.lax.psum(cnt, self._sync_axis)
+                s1 = jax.lax.psum(s1, self._sync_axis)
             cnt = jnp.maximum(cnt, 1.0)
             mean = s1 / cnt
             # two-pass (shifted) variance: E[x^2]-E[x]^2 cancels catastrophically
             # in f32 when |mean| >> std (e.g. unnormalized stem conv outputs)
             sq = jnp.sum(jnp.square(xf - mean) * mf, axis=0)
-            if self.sync_axis is not None:
-                sq = jax.lax.psum(sq, self.sync_axis)
+            if self._sync_axis is not None:
+                sq = jax.lax.psum(sq, self._sync_axis)
             var = jnp.maximum(sq / cnt, 0.0)  # biased
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)

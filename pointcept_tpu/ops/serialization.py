@@ -132,22 +132,22 @@ def key_shift_right(keys: jnp.ndarray, bits: int) -> jnp.ndarray:
 
 
 def argsort_keys(keys: jnp.ndarray) -> jnp.ndarray:
-    """Stable argsort of key triples [N,3] -> order [N] int32."""
+    """Argsort of key triples (unstable: keys are unique per valid voxel) [N,3] -> order [N] int32."""
     n = keys.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     sorted_ops = jax.lax.sort(
-        (keys[:, 0], keys[:, 1], keys[:, 2], iota), num_keys=3, is_stable=True
+        (keys[:, 0], keys[:, 1], keys[:, 2], iota), num_keys=3, is_stable=False
     )
     return sorted_ops[3]
 
 
 def sort_keys_with_payload(keys: jnp.ndarray, *payload: jnp.ndarray):
-    """Lexicographic stable sort of [N,3] keys carrying extra [N] payload arrays.
+    """Lexicographic sort of [N,3] keys carrying extra [N] payload arrays.
 
     Returns (sorted_keys [N,3], *sorted_payloads).
     """
     ops = jax.lax.sort(
-        (keys[:, 0], keys[:, 1], keys[:, 2]) + tuple(payload), num_keys=3, is_stable=True
+        (keys[:, 0], keys[:, 1], keys[:, 2]) + tuple(payload), num_keys=3, is_stable=False
     )
     return jnp.stack(ops[:3], axis=-1), *ops[3:]
 

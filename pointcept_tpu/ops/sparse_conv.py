@@ -58,7 +58,7 @@ class SortedVoxelIndex:
         keys = ser.encode(grid_coord, key_batch, depth, "z")
         iota = jnp.arange(grid_coord.shape[0], dtype=jnp.int32)
         kb, hi, lo, idx = jax.lax.sort(
-            (keys[:, 0], keys[:, 1], keys[:, 2], iota), num_keys=3, is_stable=True
+            (keys[:, 0], keys[:, 1], keys[:, 2], iota), num_keys=3, is_stable=False
         )
         return SortedVoxelIndex(kb, hi, lo, idx, depth)
 
@@ -111,7 +111,7 @@ def build_subm_neighbor_map(
     (-1 = none). This is the spconv SubM 'rule map' equivalent, built once per
     resolution and reused by every conv with the same indice_key.
 
-    method="sortmerge" (default): ONE stable sort of table keys + all
+    method="sortmerge" (default): ONE sort of table keys + all
     offset-shifted query keys, then a cummax "latest table entry" sweep matches
     every query with near-local gathers — ~100x faster on TPU than per-offset
     binary search (whose random HBM gathers dominate the whole forward pass);
@@ -187,13 +187,13 @@ def _build_subm_neighbor_map_sortmerge(grid_coord, key_batch, mask, depth, kerne
     # RANKS, which are monotone in sorted order, so "latest table entry" is a
     # single cummax with NO key gathers (gathers run at ~0.5 GB/s on TPU —
     # they, not the sort, dominate this op)
-    t_rank_sorted = jax.lax.sort((tk1, tk2, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=True)
+    t_rank_sorted = jax.lax.sort((tk1, tk2, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=False)
     stk1, stk2, table_pid_by_rank = t_rank_sorted
 
     all_k1 = jnp.concatenate([stk1] + qk1_list)
     all_k2 = jnp.concatenate([stk2] + qk2_list)
     payload = jnp.arange(n + q, dtype=jnp.int32)  # table rows: rank (monotone)
-    sk1, sk2, sp = jax.lax.sort((all_k1, all_k2, payload), num_keys=2, is_stable=True)
+    sk1, sk2, sp = jax.lax.sort((all_k1, all_k2, payload), num_keys=2, is_stable=False)
 
     pos = jnp.arange(n + q, dtype=jnp.int32)
     is_table = (sk2 & 1) == 0
@@ -389,7 +389,7 @@ def build_fused_neighbor_maps(stage_specs):
 
         k1, k2 = pack(jnp.clip(grid, 0, lim), t_tag, 0)
         # pre-sort the table per stage so ranks are monotone
-        k1, k2, pid = jax.lax.sort((k1, k2, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=True)
+        k1, k2, pid = jax.lax.sort((k1, k2, jnp.arange(n, dtype=jnp.int32)), num_keys=2, is_stable=False)
         tk1_list.append(k1)
         tk2_list.append(k2)
         meta.append(dict(n=n, pos_ids=pos_ids, center=center, k_total=k_total, pid_by_rank=pid, mask=mask))
@@ -412,7 +412,7 @@ def build_fused_neighbor_maps(stage_specs):
     all_k1 = jnp.concatenate(tk1_list + qk1_list)
     all_k2 = jnp.concatenate(tk2_list + qk2_list)
     payload = jnp.arange(n_t + n_q, dtype=jnp.int32)
-    sk1, sk2, sp = jax.lax.sort((all_k1, all_k2, payload), num_keys=2, is_stable=True)
+    sk1, sk2, sp = jax.lax.sort((all_k1, all_k2, payload), num_keys=2, is_stable=False)
 
     pos = jnp.arange(n_t + n_q, dtype=jnp.int32)
     is_table = (sk2 & 1) == 0

@@ -63,7 +63,7 @@ def window_sort(coord, batch, mask, window_size: float, shift: float) -> WindowO
     _, lo = ser.morton_encode_pair(wg[:, 0], wg[:, 1], wg[:, 2], 10)
     k1 = jnp.where(mask, batch, _BIG)
     iota = jnp.arange(n, dtype=jnp.int32)
-    k1s, k2s, order = jax.lax.sort((k1, lo, iota), num_keys=2, is_stable=True)
+    k1s, k2s, order = jax.lax.sort((k1, lo, iota), num_keys=2, is_stable=False)
     inv = jnp.zeros((n,), jnp.int32).at[order].set(iota)
     return WindowOrder(order, inv, k1s, k2s, k1s < _BIG)
 
