@@ -1,25 +1,34 @@
-# Sonata self-distillation pretraining (parity: reference configs/sonata/pretrain-sonata-v1m1-0-base.py)
-# Reference trains on a 6-dataset indoor mix; this config keeps the recipe with
-# ScanNet as the driver dataset (add more via ConcatDataset like the reference).
+# Concerto 2D-3D joint pretraining
+# (parity: reference configs/concerto/pretrain-concerto-v1m1-0-base.py).
+# The frozen DINOv2 encoder runs HOST-SIDE (models/concerto/enc2d.py) and its
+# patch features enter the jitted train step as `feature2d` arrays; the weights
+# path below points at a local HF snapshot.
 _base_ = ["../_base_/default_runtime.py"]
 
-# misc custom setting
+crop_h = 518
+crop_w = 518
+patch_size = 14
+
 batch_size = 96
 num_worker = 48
 mix_prob = 0
+clip_grad = 3.0
 empty_cache = False
 enable_amp = True
 evaluate = False
 
-point_capacity = 131072  # global views (per chip)
-point_capacity_local = 65536  # local crops are 0.1-0.4 of a scene
+point_capacity = 131072
+point_capacity_local = 65536
 
-# model settings
 model = dict(
-    type="Sonata-v1m1",
+    type="Concerto-v1m1",
+    patch_h=crop_h // patch_size,
+    patch_w=crop_w // patch_size,
+    max_images=1,  # static per-scene image budget (TPU knob)
+    enc2d_in_channels=1536,  # dinov2-giant width
     backbone=dict(
-        type="PT-v3m2",  # linear stem + mask token (reference sonata backbone)
-        in_channels=6,
+        type="PT-v3m2",
+        in_channels=9,
         order=("z", "z-trans", "hilbert", "hilbert-trans"),
         stride=(2, 2, 2, 2),
         enc_depths=(3, 3, 3, 12, 3),
@@ -28,23 +37,16 @@ model = dict(
         enc_patch_size=(1024, 1024, 1024, 1024, 1024),
         mlp_ratio=4,
         qkv_bias=True,
-        qk_scale=None,
-        attn_drop=0.0,
-        proj_drop=0.0,
         drop_path=0.3,
         shuffle_orders=True,
         pre_norm=True,
-        enable_rpe=False,
         enable_flash=True,
-        upcast_attention=False,
-        upcast_softmax=False,
-        enc_mode=True,  # encoder-only: Sonata distills encoder features
+        enc_mode=True,
         mask_token=True,
-        layer_scale=None,
         serialize_depth=11,
         grid_size=0.02,
     ),
-    head_in_channels=1232,  # concat of up_cast_level skip channels + final
+    head_in_channels=1232,
     head_hidden_channels=4096,
     head_embed_channels=512,
     head_num_prototypes=4096,
@@ -60,9 +62,11 @@ model = dict(
     teacher_temp_base=0.07,
     teacher_temp_warmup_ratio=0.05,
     student_temp=0.1,
-    mask_loss_weight=2 / 8,
-    roll_mask_loss_weight=2 / 8,
-    unmask_loss_weight=4 / 8,
+    mask_loss_weight=1 / 8,
+    roll_mask_loss_weight=1 / 8,
+    unmask_loss_weight=2 / 8,
+    enc2d_loss_weight=4 / 8,
+    enc2d_cos_shift=True,
     momentum_base=0.996,
     momentum_final=1.0,
     match_max_k=8,
@@ -70,7 +74,6 @@ model = dict(
     up_cast_level=2,
 )
 
-# scheduler settings
 epoch = 200
 base_lr = 0.004
 optimizer = dict(type="AdamW", lr=base_lr, weight_decay=0.04)
@@ -83,9 +86,16 @@ scheduler = dict(
     final_div_factor=10000.0,
 )
 
-# dataset settings
-dataset_type = "ScanNetDataset"
-data_root = "data/scannet"
+# image encoder (host-side, frozen; needs a LOCAL snapshot of the HF weights)
+image_encoder = dict(
+    model_name="dinov2_vitg14_reg",
+    model_weight="facebook/dinov2-with-registers-giant",
+    patch_h=crop_h // patch_size,
+    patch_w=crop_w // patch_size,
+)
+
+dataset_type = "DefaultImagePointDataset"
+data_root = "data/scannet_image"
 
 data = dict(
     num_classes=20,
@@ -95,6 +105,9 @@ data = dict(
         type=dataset_type,
         split="train",
         data_root=data_root,
+        crop_h=crop_h,
+        crop_w=crop_w,
+        patch_size=patch_size,
         transform=[
             dict(type="CenterShift", apply_z=True),
             dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
@@ -110,9 +123,6 @@ data = dict(
                 global_view_scale=(0.4, 1.0),
                 local_view_num=4,
                 local_view_scale=(0.1, 0.4),
-                global_shared_transform=[
-                    dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
-                ],
                 global_transform=[
                     dict(type="RandomColorJitter", brightness=0.4, contrast=0.4, saturation=0.2, hue=0.02, p=0.8),
                     dict(type="RandomColorGrayScale", p=0.2),
@@ -123,17 +133,18 @@ data = dict(
                     dict(type="RandomColorGrayScale", p=0.2),
                     dict(type="RandomColorDrop", p=0.2),
                 ],
-                view_keys=("coord", "origin_coord", "color", "normal"),
+                view_keys=("coord", "origin_coord", "color", "normal", "correspondence"),
             ),
             dict(
                 type="Collect",
                 keys=(
                     "global_coord", "global_origin_coord", "global_color", "global_normal",
+                    "global_correspondence", "images", "img_num",
                     "local_coord", "local_origin_coord", "local_color", "local_normal",
                 ),
                 offset_keys_dict=dict(global_offset="global_coord", local_offset="local_coord"),
-                global_feat_keys=("global_color", "global_normal"),
-                local_feat_keys=("local_color", "local_normal"),
+                global_feat_keys=("global_color", "global_normal", "global_coord"),
+                local_feat_keys=("local_color", "local_normal", "local_coord"),
             ),
         ],
         test_mode=False,

@@ -232,14 +232,23 @@ class Sonata(nn.Module):
         if self.mask_loss_weight > 0 or self.roll_mask_loss_weight > 0:
             t_mask_sim = jax.lax.stop_gradient(self.teacher_mask_head(teacher_feat))
 
-            s_out, s_skips = self.backbone_module(
-                g_pb.replace(
-                    coord=mask_coord,
-                    feat=jnp.where(global_mask[:, None], 0.0, g_pb.feat),
-                    origin_coord=g_origin,
-                ),
-                train,
-            )
+            if getattr(self.backbone_module, "mask_token", False):
+                # v3m2 backbone: substitute a learned token inside the embedding
+                # (reference Embedding:507-540) instead of zeroing inputs
+                s_out, s_skips = self.backbone_module(
+                    g_pb.replace(coord=mask_coord, origin_coord=g_origin),
+                    train,
+                    patch_mask=global_mask,
+                )
+            else:
+                s_out, s_skips = self.backbone_module(
+                    g_pb.replace(
+                        coord=mask_coord,
+                        feat=jnp.where(global_mask[:, None], 0.0, g_pb.feat),
+                        origin_coord=g_origin,
+                    ),
+                    train,
+                )
             s_pb = self.up_cast(s_out, list(s_skips))
             mask_pred_sim = self.mask_head(s_pb.feat)
             aux = dict(s_out=s_out, s_skips=s_skips, g_pb=g_pb, global_mask=global_mask)

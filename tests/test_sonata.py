@@ -136,3 +136,28 @@ def test_sinkhorn_assignment_properties():
     # prototypes get balanced mass: each column total ~ n_valid/K
     col = q[:48].sum(0)
     assert col.max() / max(col.min(), 1e-9) < 20
+
+
+def test_sonata_with_ptv3m2_mask_token():
+    batch = sonata_batch()
+    ns = batch.pop("num_scenes")
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    from pointcept_tpu.engines.train import make_view_inputs
+    data = make_view_inputs(arrays, ns)
+    bb = small_enc_backbone()
+    bb["type"] = "PT-v3m2"
+    bb["mask_token"] = True
+    model = build_model(dict(
+        type="Sonata-v1m1", backbone=bb,
+        head_in_channels=56, head_hidden_channels=32, head_embed_channels=16,
+        head_num_prototypes=8, num_global_view=2, num_local_view=4, up_cast_level=2,
+    ))
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2), "shuffle": jax.random.PRNGKey(3)}
+    params = model.init(rngs, data, train=False)
+    names = [str(kp) for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    assert any("mask_token" in n for n in names)
+    out, _ = model.apply(params, data, train=True, mutable=["batch_stats"],
+                         rngs={"mask": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2),
+                               "shuffle": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(out["loss"]))
