@@ -9,8 +9,8 @@ PATCH units (the reference divides by `_alignment == patch_size`,
 `resize_correspondence_info:281-306`) and densified into
 ``correspondence [N, num_images, 2]`` float arrays with -1 padding.
 
-The multi-view depth back-projection variant
-(`DefaultMultiViewImagePointDataset:478-636`) is not yet implemented.
+`DefaultMultiViewImagePointDataset` (reference :478-636) back-projects posed
+depth maps into the point cloud with exact pixel correspondences.
 """
 
 from __future__ import annotations
@@ -183,3 +183,76 @@ class DefaultImagePointDataset:
 
     def __len__(self):
         return len(self.data_name) * self.loop
+
+
+@DATASETS.register_module()
+class DefaultMultiViewImagePointDataset(DefaultImagePointDataset):
+    """Multi-view RGB-D scenes (reference defaults.py:478-636): the point cloud
+    is BUILT by back-projecting each depth map through its intrinsics/pose
+    (valid depths in (0, 0.8m] of the depth_scale'd map), colors come from the
+    RGB pixels, normals are view directions from the origin, and the pixel
+    correspondences are exact by construction."""
+
+    def __init__(self, depth_scale=1000.0, **kwargs):
+        self.depth_scale = depth_scale
+        super().__init__(**kwargs)
+
+    @staticmethod
+    def _view_normals(coord, center=np.zeros(3)):
+        n = coord - center[None, :]
+        return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+    def get_data(self, idx):
+        from PIL import Image
+
+        name = self.get_data_name(idx)
+        entry = self.data_list[name]
+        pts, cols, corrs = [], [], []
+        coord_num = 0
+        for i in range(len(entry["images"])):
+            try:
+                with Image.open(entry["images"][i]) as img:
+                    color_img = np.asarray(img.convert("RGB"))
+                with Image.open(entry["depths"][i]) as img:
+                    depth_img = np.asarray(img)
+                pose = np.load(entry["Ts"][i])
+                intr = np.load(entry["Ks"][i])
+            except FileNotFoundError:
+                continue
+            depth_m = depth_img.astype(np.float32) / self.depth_scale
+            h, w = depth_m.shape
+            fx, fy, cx, cy = intr[0, 0], intr[1, 1], intr[0, 2], intr[1, 2]
+            v, u = np.indices((h, w))
+            ok = (depth_m > 0) & (depth_m < 0.8)
+            z = depth_m[ok]
+            x = (u[ok] - cx) * z / fx
+            y = (v[ok] - cy) * z / fy
+            cam = np.stack([x, y, z], axis=1)
+            world = (pose @ np.concatenate([cam, np.ones((len(cam), 1))], 1).T).T[:, :3]
+            pts.append(world)
+            cols.append(color_img[ok])
+            pix = np.stack([u[ok], v[ok], np.arange(len(cam)) + coord_num], axis=1)
+            coord_num += len(cam)
+            corrs.append(pix)
+        coord = np.concatenate(pts, 0) if pts else np.zeros((0, 3))
+        coord[:, 2] = -coord[:, 2]
+        color = np.concatenate(cols, 0) if cols else np.zeros((0, 3))
+        normal = self._view_normals(coord)
+
+        data_dict = {
+            "name": name,
+            "coord": coord.astype(np.float32),
+            "color": color.astype(np.float32),
+            "normal": normal.astype(np.float32),
+            "segment": np.full(coord.shape[0], self.ignore_index, np.int32),
+        }
+        if self.if_img:
+            images, crops, sizes = self._load_images(entry.get("images", []))
+            data_dict["images"] = images
+            data_dict["img_num"] = np.array([images.shape[0]], np.int32)
+            corr_all = np.full((coord.shape[0], len(corrs), 2), -1.0, np.float32)
+            for i, pix in enumerate(corrs):
+                info = self._remap_correspondence(pix.astype(np.float32), crops[i], self.patch_size)
+                corr_all[info[:, -1].astype(np.int32), i, :] = info[:, :2]
+            data_dict["correspondence"] = corr_all
+        return data_dict

@@ -313,3 +313,43 @@ def test_image_point_dataset():
         assert valid.sum() > 0
         # patch units: within [0, patch_h)
         assert (s["correspondence"][valid] < 56 / 14).all()
+
+
+def test_multiview_image_point_backprojection():
+    import json as _json
+    import tempfile, os
+    from PIL import Image
+    from pointcept_tpu.datasets import build_dataset
+
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as d:
+        h, w = 28, 28
+        rgb_p = os.path.join(d, "rgb.png")
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(rgb_p)
+        depth = np.full((h, w), 500, np.uint16)  # 0.5 m everywhere
+        depth_p = os.path.join(d, "depth.png")
+        Image.fromarray(depth, mode="I;16").save(depth_p)
+        K = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]])
+        T = np.eye(4)
+        k_p, t_p = os.path.join(d, "K.npy"), os.path.join(d, "T.npy")
+        np.save(k_p, K), np.save(t_p, T)
+        os.makedirs(os.path.join(d, "splits"))
+        _json.dump(
+            {"s0": {"images": [rgb_p], "depths": [depth_p], "Ts": [t_p], "Ks": [k_p]}},
+            open(os.path.join(d, "splits", "train.json"), "w"),
+        )
+        ds = build_dataset(dict(
+            type="DefaultMultiViewImagePointDataset",
+            split="train", data_root=d,
+            crop_h=28, crop_w=28, patch_size=14,
+            transform=[],
+        ))
+        s = ds[0]
+        n = s["coord"].shape[0]
+        assert n == h * w  # every depth pixel valid
+        # back-projection: z flipped to -0.5
+        np.testing.assert_allclose(s["coord"][:, 2], -0.5, atol=1e-5)
+        assert s["images"].shape == (1, 3, 28, 28)
+        assert s["correspondence"].shape == (n, 1, 2)
+        valid = s["correspondence"][:, 0, 0] >= 0
+        assert valid.sum() > 0
