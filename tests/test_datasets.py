@@ -353,3 +353,37 @@ def test_multiview_image_point_backprojection():
         assert s["correspondence"].shape == (n, 1, 2)
         valid = s["correspondence"][:, 0, 0] >= 0
         assert valid.sum() > 0
+
+
+def test_scannetpp_preprocessing_scene():
+    import json as _json
+    import tempfile, os
+    from pointcept_tpu.utils.visualization import save_point_cloud
+    from pointcept_tpu.datasets.preprocessing.scannetpp import parse_scene
+
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as d:
+        scene = os.path.join(d, "scene", "scans")
+        os.makedirs(scene)
+        n = 40
+        coord = rng.rand(n, 3).astype(np.float32)
+        color = (rng.rand(n, 3) * 255).astype(np.uint8)
+        save_point_cloud(coord, color, os.path.join(scene, "mesh_aligned_0.05.ply"))
+        _json.dump({"segIndices": list(range(n))}, open(os.path.join(scene, "segments.json"), "w"))
+        _json.dump(
+            {"segGroups": [
+                {"label": "chair", "segments": list(range(0, 10))},
+                {"label": "table", "segments": list(range(10, 25))},
+                {"label": "unknownthing", "segments": list(range(25, 30))},
+            ]},
+            open(os.path.join(scene, "segments_anno.json"), "w"),
+        )
+        out = os.path.join(d, "out")
+        parse_scene(scene, out, {"chair": 3, "table": 7}, with_superpoint=False)
+        seg = np.load(os.path.join(out, "segment.npy"))
+        inst = np.load(os.path.join(out, "instance.npy"))
+        assert (seg[:10] == 3).all() and (inst[:10] == 0).all()
+        assert (seg[10:25] == 7).all() and (inst[10:25] == 1).all()
+        assert (seg[25:] == -1).all()  # unmapped label + unlabeled tail
+        assert os.path.isfile(os.path.join(out, "coord.npy"))
+        assert os.path.isfile(os.path.join(out, "normal.npy"))
