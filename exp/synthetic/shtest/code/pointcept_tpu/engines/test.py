@@ -1,0 +1,688 @@
+"""Testers: precise fragment-wise inference + metrics/submissions.
+
+Parity: reference `pointcept/engines/test.py` — `TESTERS:37`, `TesterBase:40`,
+`SemSegTester:122` (per-scene fragment loop, softmax accumulation at full
+resolution, inverse mapping, per-scene .npy cache, distributed gather of
+I/U/T, submission writers), `ClsTester:606`, `ClsVotingTester:724`.
+
+TPU shape discipline: each fragment is padded to a static test capacity and run
+through one jitted eval forward; the ragged accumulation happens host-side in
+numpy exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcept_tpu.datasets import build_dataset
+from pointcept_tpu.datasets.utils import collate_fn, pad_to_point_batch
+from pointcept_tpu.engines.train import TrainState, make_point_batch
+from pointcept_tpu.models import build_model
+from pointcept_tpu.utils import comm
+from pointcept_tpu.utils.logger import get_root_logger
+from pointcept_tpu.utils.misc import AverageMeter, intersection_and_union, make_dirs
+from pointcept_tpu.utils.registry import Registry
+
+TESTERS = Registry("testers")
+
+
+class TesterBase:
+    def __init__(self, cfg, model=None, state=None, verbose=False):
+        self.logger = get_root_logger(
+            log_file=os.path.join(cfg.save_path, "test.log"), file_mode="a"
+        )
+        self.logger.info("=> Loading config ...")
+        self.cfg = cfg
+        self.verbose = verbose
+        if self.verbose:
+            self.logger.info(f"Save path: {cfg.save_path}")
+        self.logger.info("=> Building model ...")
+        self.model = model if model is not None else build_model(dict(cfg.model))
+        self.logger.info("=> Building test dataset & loader ...")
+        self.test_dataset = build_dataset(dict(cfg.data.test))
+        self.state = state if state is not None else self.init_state()
+        self._infer_fn = None
+
+    @property
+    def test_capacity(self) -> int:
+        return int(self.cfg.get("point_capacity_test", self.cfg.get("point_capacity", 131072)))
+
+    def init_state(self):
+        # init params from an example fragment, then load weights
+        self.logger.info("=> Initializing model state ...")
+        sample = self.test_dataset[0]
+        frag = sample["fragment_list"][0] if "fragment_list" in sample else sample
+        batch = pad_to_point_batch(collate_fn([frag]), self.test_capacity, num_scenes=1)
+        pb = make_point_batch(
+            {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}, 1
+        )
+        variables = self.model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=(),
+        )
+        if self.cfg.get("weight") and os.path.exists(self.cfg.weight):
+            from pointcept_tpu.models.utils.checkpoint import restore_weights
+
+            self.logger.info(f"Loading weight at: {self.cfg.weight}")
+            state = restore_weights(self.cfg.weight, state)
+        else:
+            self.logger.info(f"No weight found at: {self.cfg.get('weight')}")
+        return state
+
+    @property
+    def infer(self):
+        if self._infer_fn is None:
+            model = self.model
+
+            @jax.jit
+            def infer_fn(state, arrays):
+                pb = make_point_batch(arrays, 1)
+                out = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, pb, train=False
+                )
+                return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+
+            self._infer_fn = infer_fn
+        return self._infer_fn
+
+    def scene_indices(self):
+        """Shard scenes across hosts (reference DistributedSampler of scenes)."""
+        n = len(self.test_dataset)
+        return list(range(comm.get_rank(), n, comm.get_world_size()))
+
+    def test(self):
+        raise NotImplementedError
+
+
+@TESTERS.register_module()
+class SemSegTester(TesterBase):
+    def test(self):
+        assert self.cfg.get("batch_size_test_per_gpu", 1) == 1
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+
+        batch_time = AverageMeter()
+        num_classes = self.cfg.data.num_classes
+        ignore_index = self.cfg.data.get("ignore_index", -1)
+        save_path = os.path.join(self.cfg.save_path, "result")
+        make_dirs(save_path)
+        submit_dir = None
+        if self.cfg.data.test.get("submit", False):
+            submit_dir = os.path.join(save_path, "submit")
+            make_dirs(submit_dir)
+            if self.cfg.data.test.type == "NuScenesDataset":
+                # nuScenes lidarseg challenge requires a meta manifest
+                import json
+
+                make_dirs(os.path.join(submit_dir, "test"))
+                meta = dict(
+                    meta=dict(
+                        use_camera=False, use_lidar=True, use_radar=False,
+                        use_map=False, use_external=False,
+                    )
+                )
+                with open(os.path.join(submit_dir, "test", "submission.json"), "w") as f:
+                    json.dump(meta, f, indent=4)
+
+        record = {}
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            end = time.time()
+            data_dict = self.test_dataset[idx]
+            fragment_list = data_dict.pop("fragment_list")
+            segment = data_dict.pop("segment")
+            data_name = data_dict.pop("name")
+            pred_save_path = os.path.join(save_path, "{}_pred.npy".format(data_name))
+            if os.path.isfile(pred_save_path):
+                logger.info("{}/{}: {}, loaded pred and label.".format(pos + 1, len(indices), data_name))
+                pred = np.load(pred_save_path)
+                if "origin_segment" in data_dict:
+                    segment = data_dict["origin_segment"]
+            else:
+                pred = np.zeros((segment.size, num_classes), dtype=np.float32)
+                for i, fragment in enumerate(fragment_list):
+                    index = fragment.pop("index")
+                    n_frag = fragment["coord"].shape[0]
+                    if n_frag > self.test_capacity:
+                        raise ValueError(
+                            f"fragment has {n_frag} points > point_capacity_test {self.test_capacity}"
+                        )
+                    batch = pad_to_point_batch(collate_fn([fragment]), self.test_capacity, num_scenes=1)
+                    arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+                    probs = np.asarray(self.infer(self.state, arrays))[:n_frag]
+                    np.add.at(pred, index, probs)
+                    logger.info(
+                        "Test: {}/{}-{data_name}, Fragment batch: {batch_idx}/{total_batch}".format(
+                            pos + 1, len(indices), data_name=data_name, batch_idx=i, total_batch=len(fragment_list)
+                        )
+                    )
+                if "origin_segment" in data_dict:
+                    assert "inverse" in data_dict
+                    pred = pred[data_dict["inverse"]]
+                    segment = data_dict["origin_segment"]
+                np.save(pred_save_path, pred)
+            pred_label = np.argmax(pred, axis=-1)
+
+            if submit_dir is not None:
+                self.write_submission(submit_dir, data_name, pred_label)
+
+            intersection, union, target = intersection_and_union(
+                pred_label, segment, num_classes, ignore_index
+            )
+            record[data_name] = dict(intersection=intersection, union=union, target=target)
+
+            mask = union != 0
+            iou_class = intersection / (union + 1e-10)
+            iou = np.mean(iou_class[mask])
+            acc = sum(intersection) / (sum(target) + 1e-10)
+
+            batch_time.update(time.time() - end)
+            logger.info(
+                "Test: {} [{}/{}]-{} "
+                "Batch {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                "Accuracy {acc:.4f} ({m_acc:.4f}) "
+                "mIoU {iou:.4f}".format(
+                    data_name,
+                    pos + 1,
+                    len(indices),
+                    segment.size,
+                    batch_time=batch_time,
+                    acc=acc,
+                    m_acc=0.0,
+                    iou=iou,
+                )
+            )
+
+        logger.info("Syncing ...")
+        comm.synchronize()
+        record_sync = comm.gather(record, dst=0)
+
+        if comm.is_main_process():
+            record = {}
+            for rec in record_sync:
+                record.update(rec)
+            intersection = np.sum([meters["intersection"] for meters in record.values()], axis=0)
+            union = np.sum([meters["union"] for meters in record.values()], axis=0)
+            target = np.sum([meters["target"] for meters in record.values()], axis=0)
+            # aggregate record for cross-fold evaluation (tools/test_s3dis_6fold.py)
+            np.savez(
+                os.path.join(save_path, "record.npz"),
+                intersection=intersection, union=union, target=target,
+            )
+
+            iou_class = intersection / (union + 1e-10)
+            accuracy_class = intersection / (target + 1e-10)
+            mIoU = np.mean(iou_class)
+            mAcc = np.mean(accuracy_class)
+            allAcc = sum(intersection) / (sum(target) + 1e-10)
+
+            logger.info("Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}".format(mIoU, mAcc, allAcc))
+            names = self.cfg.data.get("names", [str(i) for i in range(num_classes)])
+            for i in range(num_classes):
+                logger.info(
+                    "Class_{idx} - {name} Result: iou/accuracy {iou:.4f}/{accuracy:.4f}".format(
+                        idx=i, name=names[i], iou=iou_class[i], accuracy=accuracy_class[i]
+                    )
+                )
+            logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+            return dict(mIoU=float(mIoU), mAcc=float(mAcc), allAcc=float(allAcc))
+        return None
+
+    def write_submission(self, submit_dir, data_name, pred_label):
+        """Benchmark submission writers (reference test.py:226-280):
+        ScanNet/S3DIS txt, SemanticKITTI .label (learning_map_inv, uint32),
+        nuScenes lidarseg .bin (learning_map_inv, uint8)."""
+        ds_type = self.cfg.data.test.type
+        if ds_type in ("ScanNetDataset", "ScanNet200Dataset"):
+            from pointcept_tpu.datasets.scannet import ScanNetDataset
+
+            np.savetxt(
+                os.path.join(submit_dir, f"{data_name}.txt"),
+                ScanNetDataset.class2id[pred_label].reshape([-1, 1]),
+                fmt="%d",
+            )
+        elif ds_type == "SemanticKITTIDataset":
+            # data_name: "<sequence>_<frame>" -> sequences/<seq>/predictions/<frame>.label
+            sequence_name, frame_name = data_name.split("_")
+            pred_dir = os.path.join(submit_dir, "sequences", sequence_name, "predictions")
+            make_dirs(pred_dir)
+            inv = self.test_dataset.learning_map_inv
+            submit = np.vectorize(inv.__getitem__)(pred_label.astype(np.int64)).astype(np.uint32)
+            submit.tofile(os.path.join(pred_dir, f"{frame_name}.label"))
+        elif ds_type == "NuScenesDataset":
+            lidarseg_dir = os.path.join(submit_dir, "lidarseg", "test")
+            make_dirs(lidarseg_dir)
+            inv = self.test_dataset.learning_map_inv
+            submit = np.vectorize(inv.__getitem__)(pred_label.astype(np.int64)).astype(np.uint8)
+            submit.tofile(os.path.join(lidarseg_dir, f"{data_name}_lidarseg.bin"))
+        else:
+            np.save(os.path.join(submit_dir, f"{data_name}_pred.npy"), pred_label)
+
+
+@TESTERS.register_module()
+class DINOSemSegTester(SemSegTester):
+    """SemSegTester variant for DINOEnhancedSegmentor (reference test.py:361):
+    each fragment forward additionally receives the scene's 2D DINO feature
+    point cloud (dino_coord/dino_feat), padded to a static capacity."""
+
+    def __init__(self, cfg, model=None, state=None, verbose=False, dino_capacity=65536):
+        self.dino_capacity = dino_capacity
+        super().__init__(cfg, model=model, state=state, verbose=verbose)
+
+    def _pad_dino(self, data_dict):
+        dc = np.asarray(data_dict["dino_coord"], np.float32)
+        df = np.asarray(data_dict["dino_feat"], np.float32)
+        m = self.dino_capacity
+        n = min(len(dc), m)
+        coord = np.zeros((m, 3), np.float32)
+        feat = np.zeros((m, df.shape[1]), np.float32)
+        batch = np.full((m,), -1, np.int32)
+        coord[:n], feat[:n], batch[:n] = dc[:n], df[:n], 0
+        return jnp.asarray(coord), jnp.asarray(feat), jnp.asarray(batch)
+
+    @property
+    def infer(self):
+        if self._infer_fn is None:
+            model = self.model
+
+            @jax.jit
+            def infer_fn(state, arrays, dino_coord, dino_feat, dino_batch):
+                pb = make_point_batch(arrays, 1)
+                data = dict(point=pb, dino_coord=dino_coord, dino_feat=dino_feat, dino_batch=dino_batch)
+                out = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, data, train=False
+                )
+                return jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+
+            self._infer_fn = infer_fn
+        return self._infer_fn
+
+    def test(self):
+        # wrap the base loop: stash dino arrays per scene and curry them into infer
+        base_infer = self.infer
+        outer = self
+
+        class _Shim:
+            def __call__(self, state, arrays):
+                return base_infer(state, arrays, *outer._dino)
+
+        orig_dataset = self.test_dataset
+
+        class _DS:
+            def __len__(self):
+                return len(orig_dataset)
+
+            def __getitem__(self, idx):
+                d = orig_dataset[idx]
+                outer._dino = outer._pad_dino(d)
+                d.pop("dino_coord", None), d.pop("dino_feat", None), d.pop("dino_offset", None)
+                for frag in d.get("fragment_list", []):
+                    frag.pop("dino_coord", None), frag.pop("dino_feat", None), frag.pop("dino_offset", None)
+                return d
+
+        self._infer_fn = _Shim()
+        self.test_dataset = _DS()
+        try:
+            return super().test()
+        finally:
+            self.test_dataset = orig_dataset
+            self._infer_fn = None
+
+
+@TESTERS.register_module()
+class ClsTester(TesterBase):
+    def test(self):
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = self.cfg.data.num_classes
+        intersection_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+
+        model = self.model
+
+        @jax.jit
+        def infer_cls(state, arrays, category):
+            pb = make_point_batch(arrays, 1)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pb,
+                train=False,
+                category=category,
+            )
+            return out["cls_logits"]
+
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data = self.test_dataset[idx]
+            category = int(np.asarray(data["category"]).reshape(-1)[0])
+            batch = pad_to_point_batch(collate_fn([data]), self.test_capacity, num_scenes=1)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
+            logits = np.asarray(infer_cls(self.state, arrays, jnp.asarray([category])))
+            pred = int(logits[0].argmax())
+            i, u, t = intersection_and_union(np.array([pred]), np.array([category]), num_classes)
+            intersection_sum += i
+            union_sum += u
+            target_sum += t
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] {data.get('name', idx)} pred {pred} gt {category}")
+
+        comm.synchronize()
+        recs = comm.all_gather((intersection_sum, union_sum, target_sum))
+        intersection = np.sum([r[0] for r in recs], axis=0)
+        union = np.sum([r[1] for r in recs], axis=0)
+        target = np.sum([r[2] for r in recs], axis=0)
+        iou_class = intersection / (union + 1e-10)
+        acc_class = intersection / (target + 1e-10)
+        mIoU, mAcc = np.mean(iou_class), np.mean(acc_class)
+        allAcc = sum(intersection) / (sum(target) + 1e-10)
+        logger.info("Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}".format(mIoU, mAcc, allAcc))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(allAcc=float(allAcc))
+
+
+@TESTERS.register_module()
+class InsSegTester(TesterBase):
+    """Instance segmentation tester (reference `engines/test.py:1159`):
+    per-scene forward -> host BFS clustering -> ScanNet-protocol mAP."""
+
+    def __init__(self, cfg, model=None, state=None, verbose=False, segment_ignore_index=(-1, 0, 1)):
+        super().__init__(cfg, model=model, state=state, verbose=verbose)
+        self.segment_ignore_index = segment_ignore_index
+        self.valid_class_names = None
+
+    @property
+    def infer(self):
+        if self._infer_fn is None:
+            model = self.model
+
+            @jax.jit
+            def infer_fn(state, arrays):
+                pb = make_point_batch(arrays, 1)
+                out = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats}, pb, train=False
+                )
+                return (
+                    jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1),
+                    out["bias_pred"],
+                )
+
+            self._infer_fn = infer_fn
+        return self._infer_fn
+
+    def test(self):
+        from pointcept_tpu.utils.instance_eval import aggregate_ap, evaluate_scene
+
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = self.cfg.data.num_classes - sum(
+            1 for i in self.segment_ignore_index if i >= 0
+        )
+        # the model wrapper (PG) exposes the host-side proposal step
+        pg = self.model
+
+        all_records = {c: [] for c in range(num_classes)}
+        all_gt_counts = {c: 0 for c in range(num_classes)}
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data_dict = self.test_dataset[idx]
+            if "fragment_list" in data_dict:
+                fragment = data_dict["fragment_list"][0]
+                gt_segment = data_dict["segment"]
+                gt_instance = data_dict.get("instance", np.full_like(gt_segment, -1))
+            else:
+                fragment = data_dict
+                gt_segment = fragment.get("segment")
+                gt_instance = fragment.get("instance", np.full_like(gt_segment, -1))
+            n_frag = fragment["coord"].shape[0]
+            batch = pad_to_point_batch(collate_fn([dict(fragment)]), self.test_capacity, num_scenes=1)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+            seg_prob, bias = self.infer(self.state, arrays)
+            seg_prob = np.asarray(seg_prob)[:n_frag]
+            bias = np.asarray(bias)[:n_frag]
+            masks, classes, scores = pg.propose_instances(
+                fragment["coord"], bias, seg_prob, np.zeros(n_frag, np.int32), np.ones(n_frag, bool)
+            )
+            recs, counts = evaluate_scene(
+                masks, classes, scores,
+                np.asarray(gt_instance)[:n_frag],
+                np.asarray(gt_segment)[:n_frag],
+                num_classes,
+                self.segment_ignore_index,
+            )
+            for c, lst in recs.items():
+                for score, ious in lst:
+                    all_records[c].append((score, ious, pos))
+            for c, cnt in counts.items():
+                all_gt_counts[c] += cnt
+            if self.cfg.data.test.get("submit", False):
+                self.write_submission(str(data_dict.get("name", idx)), masks, classes, scores)
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] {data_dict.get('name', idx)} proposals {len(scores)}")
+
+        comm.synchronize()
+        gathered = comm.all_gather((all_records, all_gt_counts))
+        merged_records = {c: [] for c in range(num_classes)}
+        merged_counts = {c: 0 for c in range(num_classes)}
+        for recs, counts in gathered:
+            for c in recs:
+                merged_records[c].extend(recs[c])
+            for c in counts:
+                merged_counts[c] += counts[c]
+        result = aggregate_ap(merged_records, merged_counts, num_classes)
+        logger.info(
+            "Val result: mAP/AP50/AP25 {:.4f}/{:.4f}/{:.4f}".format(
+                result["mAP"], result["AP50"], result["AP25"]
+            )
+        )
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return result
+
+    def write_submission(self, data_name, masks, classes, scores):
+        """ScanNet/ScanNet++ instance benchmark format (reference test.py:1266-1303):
+        per-scene txt manifest + per-instance binary-RLE json masks."""
+        import json
+
+        save_dir = os.path.join(self.cfg.save_path, "result", "submit")
+        mask_dir = os.path.join(save_dir, "predicted_masks")
+        make_dirs(mask_dir)
+        lines = []
+        for i, (mask, cls, score) in enumerate(zip(masks, classes, scores)):
+            mask = np.asarray(mask).astype(np.uint8)
+            length = mask.shape[0]
+            padded = np.concatenate([[0], mask, [0]])
+            runs = np.where(padded[1:] != padded[:-1])[0] + 1
+            runs[1::2] -= runs[::2]
+            rle = dict(length=int(length), counts=" ".join(str(int(x)) for x in runs))
+            rel = os.path.join("predicted_masks", f"{data_name}_{i:03d}.json")
+            with open(os.path.join(mask_dir, f"{data_name}_{i:03d}.json"), "w") as f:
+                json.dump(rle, f, indent=2)
+            lines.append(f"{rel} {int(cls)} {float(score):.4f}")
+        with open(os.path.join(save_dir, f"{data_name}.txt"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+@TESTERS.register_module()
+class ClsVotingTester(TesterBase):
+    """TTA voting classification tester (reference `engines/test.py:724`):
+    average logits over `num_repeat` augmented passes per sample."""
+
+    def __init__(self, cfg, model=None, state=None, verbose=False, num_repeat=100, metric="allAcc"):
+        super().__init__(cfg, model=model, state=state, verbose=verbose)
+        self.num_repeat = num_repeat
+        self.metric = metric
+
+    def test(self):
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        num_classes = self.cfg.data.num_classes
+        model = self.model
+
+        @jax.jit
+        def infer_cls(state, arrays, category):
+            pb = make_point_batch(arrays, 1)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                pb, train=False, category=category,
+            )
+            return jax.nn.softmax(out["cls_logits"].astype(jnp.float32), axis=-1)
+
+        intersection_sum = np.zeros(num_classes)
+        union_sum = np.zeros(num_classes)
+        target_sum = np.zeros(num_classes)
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            record = np.zeros(num_classes, np.float64)
+            category = None
+            for _ in range(self.num_repeat):
+                data = self.test_dataset[idx]  # re-runs random TTA transforms
+                category = int(np.asarray(data["category"]).reshape(-1)[0])
+                batch = pad_to_point_batch(collate_fn([data]), self.test_capacity, num_scenes=1)
+                arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
+                record += np.asarray(infer_cls(self.state, arrays, jnp.asarray([category])))[0]
+            pred = int(record.argmax())
+            i, u, t = intersection_and_union(np.array([pred]), np.array([category]), num_classes)
+            intersection_sum += i
+            union_sum += u
+            target_sum += t
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] pred {pred} gt {category}")
+        comm.synchronize()
+        recs = comm.all_gather((intersection_sum, union_sum, target_sum))
+        intersection = np.sum([r[0] for r in recs], axis=0)
+        union = np.sum([r[1] for r in recs], axis=0)
+        target = np.sum([r[2] for r in recs], axis=0)
+        mAcc = float(np.mean(intersection / (target + 1e-10)))
+        allAcc = float(intersection.sum() / (target.sum() + 1e-10))
+        logger.info("Val result: mAcc/allAcc {:.4f}/{:.4f}".format(mAcc, allAcc))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(allAcc=allAcc, mAcc=mAcc)
+
+
+@TESTERS.register_module()
+class ShapeNetPartSegTester(TesterBase):
+    """Part segmentation tester (reference `engines/test.py:841`): per-category
+    part-IoU with logits masked to the sample's category part range."""
+
+    def test(self):
+        from pointcept_tpu.datasets.shapenet_part import ShapeNetPartDataset
+
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        cat2part = ShapeNetPartDataset.category2part
+        categories = ShapeNetPartDataset.categories
+        num_categories = len(categories)
+        iou_per_cat = {c: [] for c in range(num_categories)}
+
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data = self.test_dataset[idx]
+            cat = int(np.asarray(data["category"]).reshape(-1)[0])
+            parts = cat2part[categories[cat]]
+            n = data["coord"].shape[0]
+            batch = pad_to_point_batch(collate_fn([dict(data)]), self.test_capacity, num_scenes=1)
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
+            probs = np.asarray(self.infer(self.state, arrays))[:n]
+            masked = np.full_like(probs, -1e9)
+            masked[:, parts] = probs[:, parts]
+            pred = masked.argmax(-1)
+            seg = np.asarray(data["segment"])[:n]
+            ious = []
+            for p in parts:
+                i = ((pred == p) & (seg == p)).sum()
+                u = ((pred == p) | (seg == p)).sum()
+                ious.append(i / u if u > 0 else 1.0)
+            iou_per_cat[cat].append(float(np.mean(ious)))
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] cat {categories[cat]} iou {iou_per_cat[cat][-1]:.4f}")
+
+        comm.synchronize()
+        gathered = comm.all_gather(iou_per_cat)
+        merged = {c: [] for c in range(num_categories)}
+        for g in gathered:
+            for c, lst in g.items():
+                merged[c].extend(lst)
+        ins_iou = float(np.mean([v for lst in merged.values() for v in lst])) if any(merged.values()) else 0.0
+        cat_iou = float(np.mean([np.mean(lst) for lst in merged.values() if lst])) if any(merged.values()) else 0.0
+        logger.info("Val result: ins.mIoU/cat.mIoU {:.4f}/{:.4f}".format(ins_iou, cat_iou))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(ins_miou=ins_iou, cat_miou=cat_iou)
+
+
+@TESTERS.register_module()
+class PartNetEPartSegTester(TesterBase):
+    """PartNetE category-conditioned part-seg tester (reference
+    `engines/test.py:992-1158`): per-sample IoU for each present part of the
+    sample's category (skipping the per-category "other" part), accumulated
+    into global per-part averages; reports part-mean and category-mean IoU."""
+
+    def test(self):
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        ds = self.test_dataset
+        num_parts_total = int(sum(ds.num_parts))
+        iou_sum = np.zeros(num_parts_total, np.float64)
+        iou_cnt = np.zeros(num_parts_total, np.float64)
+
+        indices = self.scene_indices()
+        for pos, idx in enumerate(indices):
+            data_dict = ds[idx]
+            fragment_list = data_dict.pop("fragment_list", None)
+            segment = np.asarray(data_dict.pop("segment"))
+            data_name = data_dict.pop("name", str(idx))
+            if fragment_list is None:
+                fragment_list = [data_dict]
+            cls_token = int(np.asarray(fragment_list[0]["cls_token"]).reshape(-1)[0])
+            category = ds.categories[cls_token]
+            parts_idx = ds.category2part[category]
+
+            pred = np.zeros((segment.size, self.cfg.data.num_classes), np.float32)
+            for frag in fragment_list:
+                frag = dict(frag)
+                frag.pop("cls_token", None)
+                index = frag.pop("index", np.arange(segment.size))
+                n_frag = frag["coord"].shape[0]
+                batch = pad_to_point_batch(collate_fn([frag]), self.test_capacity, num_scenes=1)
+                arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+                probs = np.asarray(self.infer(self.state, arrays))[:n_frag]
+                np.add.at(pred, np.asarray(index), probs)
+            if "origin_segment" in data_dict:
+                pred = pred[data_dict["inverse"]]
+                segment = np.asarray(data_dict["origin_segment"])
+            pred_label = pred.argmax(-1)
+
+            for k, part_id in enumerate(parts_idx):
+                if k == 0:  # "other" part excluded (reference :1072)
+                    continue
+                gid = part_id + 1  # +1: global label space leads with shift
+                if (segment == gid).sum() == 0 and (pred_label == gid).sum() == 0:
+                    continue
+                inter = float(((segment == gid) & (pred_label == gid)).sum())
+                union = float(((segment == gid) | (pred_label == gid)).sum())
+                slot = int(part_id)
+                iou_sum[slot] += inter / (union + 1e-10)
+                iou_cnt[slot] += 1
+            logger.info(f"Test: [{pos + 1}/{len(indices)}] {data_name} ({category})")
+
+        comm.synchronize()
+        gathered = comm.all_gather((iou_sum, iou_cnt))
+        iou_sum = sum(g[0] for g in gathered)
+        iou_cnt = sum(g[1] for g in gathered)
+        present = iou_cnt > 0
+        part_iou = np.where(present, iou_sum / np.maximum(iou_cnt, 1), 0.0)
+        miou = float(part_iou[present].mean()) if present.any() else 0.0
+        cat_ious = []
+        for ci, cat in enumerate(ds.categories):
+            ids = [p for k, p in enumerate(ds.category2part[cat]) if k > 0 and present[p]]
+            if ids:
+                cat_ious.append(float(np.mean([part_iou[p] for p in ids])))
+        cat_miou = float(np.mean(cat_ious)) if cat_ious else 0.0
+        logger.info("Val result: part.mIoU/cat.mIoU {:.4f}/{:.4f}".format(miou, cat_miou))
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(part_miou=miou, cat_miou=cat_miou)

@@ -1,0 +1,612 @@
+"""Point Transformer V3 — TPU-native (JAX/Flax) rebuild.
+
+Reference: `pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py`
+(PT-v3m1). Same architecture — serialization -> SubM k5 stem -> U-Net of
+[SerializedPooling + Block×d] encoder stages and [SerializedUnpooling + Block×d]
+decoder stages, Block = xCPE (SubM k3 + linear + LN) + serialized patch
+attention + MLP with pre-norm residuals — but re-expressed for XLA:
+
+* ragged offsets -> fixed-capacity `PointBatch` with masks (static shapes);
+* flash_attn varlen -> dense [num_patches, K, K] bf16 patch attention over the
+  static patch layout from `PointBatch.patch_partition` (MXU-shaped);
+* spconv SubM convs -> gather-GEMM over binary-searched neighbor maps, built
+  once per stage and shared by every block (the indice_key reuse pattern);
+* torch_scatter segment_csr pooling -> sorted-run cluster ids + jax segment
+  reductions with a static per-stage capacity;
+* python pad loops -> vectorized cumsum arithmetic.
+
+Stage-local auxiliary structures (neighbor maps, patch partitions) are computed
+once per stage in the traced graph and reused across blocks, mirroring the
+reference's per-Point-dict caching (`get_padding_and_inverse`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pointcept_tpu.models.builder import MODELS
+from pointcept_tpu.models.modules import DropPath, LayerNorm, MaskedBatchNorm, MLP, PDNorm
+from pointcept_tpu.models.utils.structure import PointBatch
+from pointcept_tpu.ops import serialization as ser
+from pointcept_tpu.ops.attention import patch_attention
+from pointcept_tpu.ops.segment_ops import segment_reduce
+from pointcept_tpu.ops.sparse_conv import build_subm_neighbor_map, gather_conv
+
+# torch kaiming_uniform(a=sqrt(5)) equivalent for conv/linear kernels
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+# pdnorm config: None for plain norms, else dict(conditions, decouple, adaptive)
+PDCfg = Optional[dict]
+
+
+def apply_bn(name: str, pd: PDCfg, x, mask, train, pb):
+    if pd is not None and pd.get("bn"):
+        return PDNorm(
+            conditions=tuple(pd["conditions"]),
+            decouple=pd["decouple"],
+            adaptive=pd["adaptive"],
+            norm_type="bn",
+            name=name,
+        )(x, mask, train, pb.condition, pb.context)
+    return MaskedBatchNorm(name=name)(x, mask, train)
+
+
+def apply_ln(name: str, pd: PDCfg, x, train, pb):
+    if pd is not None and pd.get("ln"):
+        return PDNorm(
+            conditions=tuple(pd["conditions"]),
+            decouple=pd["decouple"],
+            adaptive=pd["adaptive"],
+            norm_type="ln",
+            name=name,
+        )(x, None, train, pb.condition, pb.context)
+    return LayerNorm(name=name)(x)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SubMConv(nn.Module):
+    """Submanifold sparse conv as gather-GEMM over a prebuilt neighbor map."""
+
+    out_channels: int
+    num_offsets: int  # k^3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+        cin = feat.shape[-1]
+        w = self.param("weight", conv_kernel_init, (self.num_offsets, cin, self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
+        # bf16 gather+matmul (f32 accumulate): halves the gather traffic, the
+        # dominant cost on TPU; matches the reference's AMP behavior
+        return gather_conv(feat, nbr, w, b, compute_dtype=jnp.bfloat16)
+
+
+class RPE(nn.Module):
+    """Relative positional bias table (reference `RPE`, ptv3 base `:29-48`)."""
+
+    patch_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, rel_grid: jnp.ndarray) -> jnp.ndarray:
+        # rel_grid [nP, K, K, 3] int32 -> bias [nP, H, K, K]
+        pos_bnd = int((4 * self.patch_size) ** (1 / 3) * 2)
+        rpe_num = 2 * pos_bnd + 1
+        table = self.param(
+            "rpe_table",
+            nn.initializers.truncated_normal(0.02),
+            (3 * rpe_num, self.num_heads),
+        )
+        idx = jnp.clip(rel_grid, -pos_bnd, pos_bnd) + pos_bnd + jnp.arange(3) * rpe_num
+        out = jnp.take(table, idx.reshape(-1), axis=0).reshape(idx.shape + (self.num_heads,))
+        out = out.sum(axis=3)  # sum over xyz -> [nP, K, K, H]
+        return out.transpose(0, 3, 1, 2)
+
+
+class SerializedAttention(nn.Module):
+    """Reference `SerializedAttention` (`:51-222`), dense static-patch form."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    order_index: int = 0
+    enable_rpe: bool = False
+    lora_rank: int = 0  # >0: low-rank adapter on qkv (reference DefaultLORASegmentorV2)
+    # v3m3 (utonia) 3D RoPE on q/k (reference v3m3_utonia.py Point3DRoPE + :275-305)
+    rope_base: Optional[float] = None
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, feat, grid_coord, partition, train: bool, coord=None) -> jnp.ndarray:
+        c = self.channels
+        h = self.num_heads
+        scale = self.qk_scale or (c // h) ** -0.5
+        slot_to_point, point_to_slot = partition
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=conv_kernel_init, name="qkv")(feat)
+        if self.lora_rank > 0:
+            a = self.param("lora_a", nn.initializers.normal(0.02), (c, self.lora_rank))
+            b = self.param("lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c))
+            qkv = qkv + (feat @ a) @ b
+        if self.rope_base and coord is not None:
+            from pointcept_tpu.ops.pointrope import point_rope
+
+            rope_coord = coord
+            if train and self.has_rng("dropout"):
+                key = self.make_rng("dropout")
+                k1, k2, k3 = jax.random.split(key, 3)
+                if self.shift_coords is not None and self.shift_coords > 0:
+                    rope_coord = rope_coord + jax.random.uniform(
+                        k1, (1, 3), minval=-self.shift_coords, maxval=self.shift_coords
+                    )
+                if self.jitter_coords is not None and self.jitter_coords > 1.0:
+                    jm = math.log(self.jitter_coords)
+                    rope_coord = rope_coord * jnp.exp(
+                        jax.random.uniform(k2, (1, 3), minval=-jm, maxval=jm)
+                    )
+                if self.rescale_coords is not None and self.rescale_coords > 1.0:
+                    rm = math.log(self.rescale_coords)
+                    rope_coord = rope_coord * jnp.exp(
+                        jax.random.uniform(k3, (1, 1), minval=-rm, maxval=rm)
+                    )
+            n = feat.shape[0]
+            qkv4 = qkv.reshape(n, 3, h, c // h)
+            # point_rope expects [..., H, K, D]; treat points as the K axis
+            q = qkv4[:, 0].transpose(1, 0, 2)[None]  # [1, H, N, D]
+            k = qkv4[:, 1].transpose(1, 0, 2)[None]
+            pos = rope_coord[None]  # [1, N, 3]
+            q = point_rope(q, pos, freq=self.rope_base)[0].transpose(1, 0, 2)
+            k = point_rope(k, pos, freq=self.rope_base)[0].transpose(1, 0, 2)
+            qkv = jnp.stack([q, k, qkv4[:, 2]], axis=1).reshape(n, 3 * c)
+        bias = None
+        if self.enable_rpe:
+            k = self.patch_size
+            g = jnp.take(grid_coord, slot_to_point, axis=0).reshape(-1, k, 3)
+            rel = g[:, :, None, :] - g[:, None, :, :]
+            bias = RPE(self.patch_size, h, name="rpe")(rel)
+        out = patch_attention(
+            qkv,
+            slot_to_point,
+            point_to_slot,
+            num_heads=h,
+            patch_size=self.patch_size,
+            scale=scale,
+            bias=bias,
+        )
+        out = nn.Dense(c, kernel_init=conv_kernel_init, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Reference `Block` (`:250-338`): xCPE + attention + MLP, pre-norm residuals."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    pre_norm: bool = True
+    order_index: int = 0
+    enable_rpe: bool = False
+    pd: PDCfg = None
+    lora_rank: int = 0
+    layer_scale: Optional[float] = None  # v3m2 LayerScale init value (sonata `:27-40`)
+    rope_base: Optional[float] = None
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, nbr3, partition, train: bool) -> PointBatch:
+        c = self.channels
+        feat = pb.feat
+
+        def ls(name, x):
+            if self.layer_scale is None:
+                return x
+            gamma = self.param(name, nn.initializers.constant(self.layer_scale), (c,))
+            return x * gamma
+        # xCPE residual
+        cpe = SubMConv(c, 27, use_bias=True, name="cpe_conv")(feat, nbr3)
+        cpe = nn.Dense(c, kernel_init=conv_kernel_init, name="cpe_linear")(cpe)
+        cpe = apply_ln("cpe_norm", self.pd, cpe, train, pb)
+        feat = feat + cpe
+
+        shortcut = feat
+        x = apply_ln("norm1", self.pd, feat, train, pb) if self.pre_norm else feat
+        x = SerializedAttention(
+            channels=c,
+            num_heads=self.num_heads,
+            patch_size=self.patch_size,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            order_index=self.order_index,
+            enable_rpe=self.enable_rpe,
+            lora_rank=self.lora_rank,
+            rope_base=self.rope_base,
+            shift_coords=self.shift_coords,
+            jitter_coords=self.jitter_coords,
+            rescale_coords=self.rescale_coords,
+            name="attn",
+        )(x, pb.grid_coord, partition, train, coord=pb.coord)
+        x = DropPath(self.drop_path, name="drop_path1")(ls("ls1_gamma", x), train)
+        feat = shortcut + x
+        if not self.pre_norm:
+            feat = apply_ln("norm1", self.pd, feat, train, pb)
+
+        shortcut = feat
+        x = apply_ln("norm2", self.pd, feat, train, pb) if self.pre_norm else feat
+        x = MLP(
+            hidden_channels=int(c * self.mlp_ratio),
+            out_channels=c,
+            drop=self.proj_drop,
+            name="mlp",
+        )(x, train)
+        x = DropPath(self.drop_path, name="drop_path2")(ls("ls2_gamma", x), train)
+        feat = shortcut + x
+        if not self.pre_norm:
+            feat = apply_ln("norm2", self.pd, feat, train, pb)
+        return pb.replace(feat=feat)
+
+
+class SerializedPooling(nn.Module):
+    """Reference `SerializedPooling` (`:341-444`): grid pool by shifted curve codes.
+
+    Static-shape version: clusters are runs of equal shifted keys in the (already
+    sorted) order-0 permutation; output has a static `out_capacity` (clusters
+    beyond it are dropped — sized generously; overflow is 0 in practice for
+    stride-2 pooling of surface scans at the default factors).
+    """
+
+    out_channels: int
+    out_capacity: int
+    stride: int = 2
+    reduce: str = "max"
+    shuffle_orders: bool = True
+    pd: PDCfg = None
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, train: bool, shuffle_key=None):
+        bits = 3 * (self.stride.bit_length() - 1)
+        pdepth = self.stride.bit_length() - 1
+        m = self.out_capacity
+        n = pb.capacity
+        s = pb.serialized_keys.shape[0]
+
+        keys0 = pb.serialized_keys[0]
+        order0 = pb.serialized_order[0]
+        shifted = jnp.stack([ser.key_shift_right(pb.serialized_keys[i], bits) for i in range(s)])
+        sk = shifted[0][order0]  # sorted (shift is monotone on sorted codes)
+        valid_sorted = pb.batch[order0] >= 0
+        prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
+        head = valid_sorted & ~prev_eq
+        cluster_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+        # per-input-point cluster id (M = dropped/padding)
+        cl_sorted = jnp.where(valid_sorted & (cluster_sorted < m), cluster_sorted, m)
+        cluster_of_point = jnp.full((n,), m, jnp.int32).at[order0].set(cl_sorted)
+
+        proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
+        feat = segment_reduce(proj, cluster_of_point, m, reduce=self.reduce)
+        coord = segment_reduce(pb.coord, cluster_of_point, m, reduce="mean")
+        origin_coord = (
+            segment_reduce(pb.origin_coord, cluster_of_point, m, reduce="mean")
+            if pb.origin_coord is not None
+            else None
+        )
+
+        # head-point attributes
+        head_target = jnp.where(head & (cluster_sorted < m), cluster_sorted, m)
+        grid = jnp.zeros((m + 1, 3), jnp.int32).at[head_target].set(pb.grid_coord[order0] >> pdepth)[:m]
+        batch = jnp.full((m + 1,), -1, jnp.int32).at[head_target].set(pb.batch[order0])[:m]
+        seg = None
+        if pb.segment is not None:
+            seg = jnp.full((m + 1,), -1, jnp.int32).at[head_target].set(pb.segment[order0])[:m]
+
+        # per-order pooled keys = shifted key of the cluster head point
+        sentinel = jnp.stack(
+            [jnp.full((m + 1,), ser.BATCH_SENTINEL, jnp.int32), jnp.zeros((m + 1,), jnp.int32), jnp.zeros((m + 1,), jnp.int32)],
+            axis=-1,
+        )
+        new_keys = []
+        new_order = []
+        new_inverse = []
+        for i in range(s):
+            ki = sentinel.at[head_target].set(shifted[i][order0])[:m]
+            oi = ser.argsort_keys(ki)
+            new_keys.append(ki)
+            new_order.append(oi)
+            new_inverse.append(ser.invert_order(oi))
+        new_keys = jnp.stack(new_keys)
+        new_order = jnp.stack(new_order)
+        new_inverse = jnp.stack(new_inverse)
+
+        out = PointBatch(
+            coord=coord,
+            feat=feat,
+            grid_coord=grid,
+            batch=batch,
+            origin_coord=origin_coord,
+            segment=seg,
+            condition=pb.condition,
+            context=pb.context,
+            serialized_keys=new_keys,
+            serialized_order=new_order,
+            serialized_inverse=new_inverse,
+            serialized_depth=pb.serialized_depth - pdepth,
+            num_scenes=pb.num_scenes,
+        )
+        out = out.replace(feat=nn.gelu(apply_bn("norm", self.pd, out.feat, out.mask, train, out)))
+        if self.shuffle_orders and shuffle_key is not None:
+            out = out.shuffle_orders_(shuffle_key)
+        return out, cluster_of_point
+
+
+class SerializedUnpooling(nn.Module):
+    """Reference `SerializedUnpooling` (`:447-482`): proj + skip add by cluster."""
+
+    out_channels: int
+    pd: PDCfg = None
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, skip_pb: PointBatch, cluster: jnp.ndarray, train: bool) -> PointBatch:
+        m = pb.capacity
+        x = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
+        x = apply_bn("proj_norm", self.pd, x, pb.mask, train, pb)
+        x = nn.gelu(x)
+        skip = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj_skip")(skip_pb.feat)
+        skip = apply_bn("proj_skip_norm", self.pd, skip, skip_pb.mask, train, skip_pb)
+        skip = nn.gelu(skip)
+        up = jnp.take(x, jnp.minimum(cluster, m - 1), axis=0)
+        up = jnp.where((cluster < m)[:, None], up, 0)
+        return skip_pb.replace(feat=skip + up)
+
+
+class Embedding(nn.Module):
+    """Reference `Embedding` (`:485-516`): SubM k5 stem + BN + GELU.
+
+    mode="linear" is the v3m2 embedding (sonata `:507-540`): Linear + LN + GELU,
+    with an optional learnable mask token substituted at `patch_mask` points
+    (the masked-distillation input of Sonata)."""
+
+    embed_channels: int
+    pd: PDCfg = None
+    mode: str = "conv"
+    mask_token: bool = False
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, nbr5, train: bool, patch_mask=None) -> PointBatch:
+        if self.mode == "linear":
+            feat = nn.Dense(self.embed_channels, name="stem_linear")(pb.feat)
+            feat = apply_ln("stem_norm", self.pd, feat, train, pb)
+            feat = nn.gelu(feat)
+        else:
+            feat = SubMConv(self.embed_channels, 125, use_bias=False, name="stem_conv")(pb.feat, nbr5)
+            feat = apply_bn("stem_norm", self.pd, feat, pb.mask, train, pb)
+            feat = nn.gelu(feat)
+        if self.mask_token:
+            token = self.param("mask_token", nn.initializers.zeros, (1, self.embed_channels))
+            if patch_mask is not None:
+                feat = jnp.where(patch_mask[:, None], token.astype(feat.dtype), feat)
+        return pb.replace(feat=feat)
+
+
+@MODELS.register_module("PT-v3m1")
+class PointTransformerV3(nn.Module):
+    """PT-v3m1 backbone. Returns the decoded PointBatch (feat = per-point features).
+
+    TPU-specific knobs: `serialize_depth` (static curve depth, replaces the
+    reference's data-adaptive depth) and `pool_capacity_factors` (static pooled
+    capacities per encoder stage, as fractions of the input capacity).
+    """
+
+    in_channels: int = 6
+    order: Sequence[str] = ("z", "z-trans", "hilbert", "hilbert-trans")
+    stride: Sequence[int] = (2, 2, 2, 2)
+    enc_depths: Sequence[int] = (2, 2, 2, 6, 2)
+    enc_channels: Sequence[int] = (32, 64, 128, 256, 512)
+    enc_num_head: Sequence[int] = (2, 4, 8, 16, 32)
+    enc_patch_size: Sequence[int] = (1024, 1024, 1024, 1024, 1024)
+    dec_depths: Sequence[int] = (2, 2, 2, 2)
+    dec_channels: Sequence[int] = (64, 64, 128, 256)
+    dec_num_head: Sequence[int] = (4, 4, 8, 16)
+    dec_patch_size: Sequence[int] = (1024, 1024, 1024, 1024)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.3
+    pre_norm: bool = True
+    shuffle_orders: bool = True
+    enable_rpe: bool = False
+    enable_flash: bool = True  # accepted for config parity; attention is always fused
+    upcast_attention: bool = False  # parity no-op (softmax always f32)
+    upcast_softmax: bool = False  # parity no-op
+    enc_mode: bool = False
+    pdnorm_bn: bool = False
+    pdnorm_ln: bool = False
+    pdnorm_decouple: bool = True
+    pdnorm_adaptive: bool = False
+    pdnorm_affine: bool = True
+    pdnorm_conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
+    serialize_depth: int = 12
+    pool_capacity_factors: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
+    grid_size: float = 0.02  # used only when the input lacks grid_coord
+    lora_rank: int = 0
+    # v3m2 (sonata variant) options
+    embed_mode: str = "conv"  # "linear" = v3m2 Linear+LN stem
+    mask_token: bool = False
+    layer_scale: Optional[float] = None
+    # v3m3 (utonia) options
+    rope_base: Optional[float] = None
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, train: bool = False, patch_mask=None) -> PointBatch:
+        orders = tuple(self.order) if not isinstance(self.order, str) else (self.order,)
+        s_orders = len(orders)
+        num_stages = len(self.enc_depths)
+
+        def rng_or_none(name):
+            if self.shuffle_orders and self.has_rng("shuffle"):
+                return self.make_rng("shuffle")
+            return None
+
+        pd = None
+        if self.pdnorm_bn or self.pdnorm_ln:
+            pd = dict(
+                bn=self.pdnorm_bn,
+                ln=self.pdnorm_ln,
+                conditions=tuple(self.pdnorm_conditions),
+                decouple=self.pdnorm_decouple,
+                adaptive=self.pdnorm_adaptive,
+            )
+
+        pb = pb.with_grid_coord(self.grid_size)
+        pb = pb.serialize(orders=orders, depth=self.serialize_depth, shuffle_key=rng_or_none("shuffle"))
+
+        # drop-path schedule (reference: linspace over total depths)
+        enc_dp = np.linspace(0, self.drop_path, sum(self.enc_depths)).tolist()
+        dec_dp = np.linspace(0, self.drop_path, sum(self.dec_depths)).tolist() if not self.enc_mode else []
+
+        # stage 0 stem (the k5 map is only needed by the conv stem)
+        nbr5 = (
+            build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
+            if self.embed_mode == "conv"
+            else None
+        )
+        pb = Embedding(
+            self.enc_channels[0], pd=pd, mode=self.embed_mode, mask_token=self.mask_token,
+            name="embedding",
+        )(pb, nbr5, train, patch_mask=patch_mask)
+
+        skips = []  # (skip_pb, cluster, stage_ctx)
+        stage_ctx = {}
+
+        def build_ctx(pb, stage, patch_size):
+            depth_s = self.serialize_depth - stage
+            nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
+            parts = [pb.patch_partition(oi, patch_size) for oi in range(s_orders)]
+            return dict(nbr3=nbr3, parts=parts)
+
+        cap = pb.capacity
+        for s in range(num_stages):
+            if s > 0:
+                cap = _round_up(max(int(math.ceil(cap * self.pool_capacity_factors[s - 1])), 128), 128)
+                skip_pb = pb
+                pb, cluster = SerializedPooling(
+                    out_channels=self.enc_channels[s],
+                    out_capacity=cap,
+                    stride=self.stride[s - 1],
+                    reduce="max",
+                    shuffle_orders=self.shuffle_orders,
+                    pd=pd,
+                    name=f"enc{s}_down",
+                )(pb, train, rng_or_none("shuffle"))
+                skips.append((skip_pb, cluster, stage_ctx))
+            stage_ctx = build_ctx(pb, s, self.enc_patch_size[s])
+            for i in range(self.enc_depths[s]):
+                pb = Block(
+                    channels=self.enc_channels[s],
+                    num_heads=self.enc_num_head[s],
+                    patch_size=self.enc_patch_size[s],
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale,
+                    attn_drop=self.attn_drop,
+                    proj_drop=self.proj_drop,
+                    drop_path=enc_dp[sum(self.enc_depths[:s]) + i],
+                    pre_norm=self.pre_norm,
+                    order_index=i % s_orders,
+                    enable_rpe=self.enable_rpe,
+                    pd=pd,
+                    lora_rank=self.lora_rank,
+                    layer_scale=self.layer_scale,
+                    rope_base=self.rope_base,
+                    shift_coords=self.shift_coords,
+                    jitter_coords=self.jitter_coords,
+                    rescale_coords=self.rescale_coords,
+                    name=f"enc{s}_block{i}",
+                )(pb, stage_ctx["nbr3"], stage_ctx["parts"][i % s_orders], train)
+
+        if not self.enc_mode:
+            dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
+            for s in reversed(range(num_stages - 1)):
+                skip_pb, cluster, skip_ctx = skips[s]
+                pb = SerializedUnpooling(out_channels=dec_channels[s], pd=pd, name=f"dec{s}_up")(
+                    pb, skip_pb, cluster, train
+                )
+                dp_slice = dec_dp[sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])][::-1]
+                for i in range(self.dec_depths[s]):
+                    pb = Block(
+                        channels=dec_channels[s],
+                        num_heads=self.dec_num_head[s],
+                        patch_size=self.dec_patch_size[s],
+                        mlp_ratio=self.mlp_ratio,
+                        qkv_bias=self.qkv_bias,
+                        qk_scale=self.qk_scale,
+                        attn_drop=self.attn_drop,
+                        proj_drop=self.proj_drop,
+                        drop_path=dp_slice[i],
+                        pre_norm=self.pre_norm,
+                        order_index=i % s_orders,
+                        enable_rpe=self.enable_rpe,
+                        pd=pd,
+                        lora_rank=self.lora_rank,
+                        layer_scale=self.layer_scale,
+                        rope_base=self.rope_base,
+                        shift_coords=self.shift_coords,
+                        jitter_coords=self.jitter_coords,
+                        rescale_coords=self.rescale_coords,
+                        name=f"dec{s}_block{i}",
+                    )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
+            return pb
+        # enc_mode: expose the skip chain for SSL up_cast (reference enc_mode
+        # leaves pooling_parent/pooling_inverse attached)
+        return pb, skips
+
+
+@MODELS.register_module("PT-v3m2")
+class PointTransformerV3M2(PointTransformerV3):
+    """Sonata variant (reference point_transformer_v3m2_sonata.py): linear
+    embedding with optional mask token, LayerScale residual branches."""
+
+    embed_mode: str = "linear"
+    mask_token: bool = False
+    layer_scale: Optional[float] = None
+
+
+@MODELS.register_module("PT-v3m3")
+class PointTransformerV3M3(PointTransformerV3M2):
+    """Utonia variant (reference point_transformer_v3m3_utonia.py): v3m2 plus
+    3D RoPE on q/k with optional train-time coordinate shift/jitter/rescale
+    augmentation of the RoPE positions. Head dims must be divisible by 6
+    (three axis chunks of rotation pairs)."""
+
+    rope_base: Optional[float] = 10000.0
+    shift_coords: Optional[float] = None
+    jitter_coords: Optional[float] = None
+    rescale_coords: Optional[float] = None

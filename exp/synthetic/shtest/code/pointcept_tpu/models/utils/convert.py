@@ -1,0 +1,219 @@
+"""PyTorch (reference Pointcept) checkpoint -> pointcept_tpu parameter trees.
+
+BASELINE.json requires "SpUNet/PTv2/PTv3 checkpoints convert with matched
+logits". This module maps the reference torch ``state_dict`` names/layouts to
+this framework's flax param/batch_stats trees:
+
+* ``nn.Linear.weight [out, in]``            -> Dense ``kernel [in, out]`` (transposed)
+* ``spconv.SubMConv3d.weight``              -> gather-GEMM ``weight [k^3, in, out]``
+  (spconv stores ``[k, k, k, in, out]`` for native layout or ``[out, k,k,k, in]``
+  depending on version; both are handled by shape inspection; the spatial axes
+  enumerate offsets in the same C order as `ops.sparse_conv.kernel_offsets`)
+* ``BatchNorm1d {weight, bias}``            -> MaskedBatchNorm ``{scale, bias}``
+  and ``{running_mean, running_var}``       -> batch_stats ``{mean, var}``
+* ``LayerNorm {weight, bias}``              -> LayerNorm ``{scale, bias}``
+
+Use `tools/convert_checkpoint.py` for the CLI. Rules are per model family
+(PT-v3m1, SpUNet-v1m1); unknown keys are reported, never silently dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _t(w):  # torch Linear -> flax Dense kernel
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _conv(w, k3: int):
+    """spconv weight -> [k^3, in, out]."""
+    w = np.asarray(w)
+    if w.ndim == 5:
+        if w.shape[0] * w.shape[1] * w.shape[2] == k3:  # [k,k,k,in,out]
+            return np.ascontiguousarray(w.reshape(k3, w.shape[3], w.shape[4]))
+        if w.shape[1] * w.shape[2] * w.shape[3] == k3:  # [out,k,k,k,in]
+            return np.ascontiguousarray(
+                w.transpose(1, 2, 3, 4, 0).reshape(k3, w.shape[4], w.shape[0])
+            )
+    if w.ndim == 3 and w.shape[0] == k3:
+        return np.asarray(w)
+    raise ValueError(f"unrecognized spconv weight shape {w.shape} for k^3={k3}")
+
+
+class TreeBuilder:
+    def __init__(self):
+        self.params: Dict = {}
+        self.stats: Dict = {}
+
+    def put(self, tree, path: str, value):
+        parts = path.split("/")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = np.asarray(value)
+
+    def param(self, path, value):
+        self.put(self.params, path, value)
+
+    def stat(self, path, value):
+        self.put(self.stats, path, value)
+
+
+def _map_bn(tb: TreeBuilder, src: dict, torch_prefix: str, flax_path: str):
+    if f"{torch_prefix}.weight" in src:
+        tb.param(f"{flax_path}/scale", src[f"{torch_prefix}.weight"])
+        tb.param(f"{flax_path}/bias", src[f"{torch_prefix}.bias"])
+    if f"{torch_prefix}.running_mean" in src:
+        tb.stat(f"{flax_path}/mean", src[f"{torch_prefix}.running_mean"])
+        tb.stat(f"{flax_path}/var", src[f"{torch_prefix}.running_var"])
+
+
+def _map_ln(tb: TreeBuilder, src: dict, torch_prefix: str, flax_path: str):
+    tb.param(f"{flax_path}/scale", src[f"{torch_prefix}.weight"])
+    tb.param(f"{flax_path}/bias", src[f"{torch_prefix}.bias"])
+
+
+def _map_linear(tb: TreeBuilder, src: dict, torch_prefix: str, flax_path: str):
+    tb.param(f"{flax_path}/kernel", _t(src[f"{torch_prefix}.weight"]))
+    if f"{torch_prefix}.bias" in src:
+        tb.param(f"{flax_path}/bias", src[f"{torch_prefix}.bias"])
+
+
+def convert_ptv3(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[dict, dict, list]:
+    """Reference PT-v3m1 (DefaultSegmentorV2) state_dict -> (params, batch_stats, unmatched).
+
+    Reference module names from `point_transformer_v3m1_base.py`:
+    embedding.stem.{conv,norm}, enc{s}.[down|block{i}], dec{s}.[up|block{i}],
+    block = {cpe.0 conv, cpe.1 linear, cpe.2 ln, norm1.0, attn.{qkv,proj},
+    norm2.0, mlp.0.{fc1,fc2}}.
+    """
+    src = {k: v for k, v in state_dict.items()}
+    tb = TreeBuilder()
+    unmatched = []
+    bp = backbone_prefix
+    out = "backbone_module"
+
+    def block(tprefix, fprefix):
+        tb.param(f"{fprefix}/cpe_conv/weight", _conv(src[f"{tprefix}.cpe.0.weight"], 27))
+        if f"{tprefix}.cpe.0.bias" in src:
+            tb.param(f"{fprefix}/cpe_conv/bias", src[f"{tprefix}.cpe.0.bias"])
+        _map_linear(tb, src, f"{tprefix}.cpe.1", f"{fprefix}/cpe_linear")
+        _map_ln(tb, src, f"{tprefix}.cpe.2", f"{fprefix}/cpe_norm")
+        _map_ln(tb, src, f"{tprefix}.norm1.0", f"{fprefix}/norm1")
+        _map_ln(tb, src, f"{tprefix}.norm2.0", f"{fprefix}/norm2")
+        _map_linear(tb, src, f"{tprefix}.attn.qkv", f"{fprefix}/attn/qkv")
+        _map_linear(tb, src, f"{tprefix}.attn.proj", f"{fprefix}/attn/proj")
+        _map_linear(tb, src, f"{tprefix}.mlp.0.fc1", f"{fprefix}/mlp/fc1")
+        _map_linear(tb, src, f"{tprefix}.mlp.0.fc2", f"{fprefix}/mlp/fc2")
+
+    handled = set()
+    for key in list(src):
+        k = key
+        if not k.startswith(bp):
+            continue
+        r = k[len(bp):]
+        if r.startswith("embedding.stem.conv"):
+            tb.param(f"{out}/embedding/stem_conv/weight", _conv(src[f"{bp}embedding.stem.conv.weight"], 125))
+            handled.add(k)
+        elif r.startswith("embedding.stem.norm"):
+            _map_bn(tb, src, f"{bp}embedding.stem.norm", f"{out}/embedding/stem_norm")
+            handled.add(k)
+        elif m := re.match(r"enc(\d+)\.down\.proj\.(weight|bias)", r):
+            _map_linear(tb, src, f"{bp}enc{m.group(1)}.down.proj", f"{out}/enc{m.group(1)}_down/proj")
+            handled.add(k)
+        elif m := re.match(r"enc(\d+)\.down\.norm\.0\.", r):
+            _map_bn(tb, src, f"{bp}enc{m.group(1)}.down.norm.0", f"{out}/enc{m.group(1)}_down/norm")
+            handled.add(k)
+        elif m := re.match(r"enc(\d+)\.block(\d+)\.", r):
+            block(f"{bp}enc{m.group(1)}.block{m.group(2)}", f"{out}/enc{m.group(1)}_block{m.group(2)}")
+            handled.add(k)
+        elif m := re.match(r"dec(\d+)\.up\.proj\.0\.", r):
+            _map_linear(tb, src, f"{bp}dec{m.group(1)}.up.proj.0", f"{out}/dec{m.group(1)}_up/proj")
+            handled.add(k)
+        elif m := re.match(r"dec(\d+)\.up\.proj\.1\.", r):
+            _map_bn(tb, src, f"{bp}dec{m.group(1)}.up.proj.1", f"{out}/dec{m.group(1)}_up/proj_norm")
+            handled.add(k)
+        elif m := re.match(r"dec(\d+)\.up\.proj_skip\.0\.", r):
+            _map_linear(tb, src, f"{bp}dec{m.group(1)}.up.proj_skip.0", f"{out}/dec{m.group(1)}_up/proj_skip")
+            handled.add(k)
+        elif m := re.match(r"dec(\d+)\.up\.proj_skip\.1\.", r):
+            _map_bn(tb, src, f"{bp}dec{m.group(1)}.up.proj_skip.1", f"{out}/dec{m.group(1)}_up/proj_skip_norm")
+            handled.add(k)
+        elif m := re.match(r"dec(\d+)\.block(\d+)\.", r):
+            block(f"{bp}dec{m.group(1)}.block{m.group(2)}", f"{out}/dec{m.group(1)}_block{m.group(2)}")
+            handled.add(k)
+        else:
+            unmatched.append(k)
+    # wrapper seg head
+    if "seg_head.weight" in src:
+        _map_linear(tb, src, "seg_head", "seg_head")
+    unmatched = [k for k in unmatched if k not in handled]
+    return tb.params, tb.stats, sorted(set(unmatched))
+
+
+def convert_spunet(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[dict, dict, list]:
+    """Reference SpUNet-v1m1 state_dict -> (params, batch_stats, unmatched)."""
+    src = dict(state_dict)
+    tb = TreeBuilder()
+    unmatched = []
+    bp = backbone_prefix
+    out = "backbone_module"
+
+    def basic_block(tprefix, fprefix):
+        tb.param(f"{fprefix}/conv1/weight", _conv(src[f"{tprefix}.conv1.weight"], 27))
+        _map_bn(tb, src, f"{tprefix}.bn1", f"{fprefix}/bn1")
+        tb.param(f"{fprefix}/conv2/weight", _conv(src[f"{tprefix}.conv2.weight"], 27))
+        _map_bn(tb, src, f"{tprefix}.bn2", f"{fprefix}/bn2")
+        if f"{tprefix}.proj.0.weight" in src:
+            tb.param(f"{fprefix}/proj_conv/weight", _conv(src[f"{tprefix}.proj.0.weight"], 1))
+            _map_bn(tb, src, f"{tprefix}.proj.1", f"{fprefix}/proj_norm")
+
+    for key in list(src):
+        if not key.startswith(bp):
+            continue
+        r = key[len(bp):]
+        if r.startswith("conv_input.0."):
+            tb.param(f"{out}/conv_input/weight", _conv(src[f"{bp}conv_input.0.weight"], 125))
+        elif r.startswith("conv_input.1."):
+            _map_bn(tb, src, f"{bp}conv_input.1", f"{out}/stem_norm")
+        elif m := re.match(r"down\.(\d+)\.0\.weight", r):
+            s = int(m.group(1))
+            tb.param(f"{out}/down{s}_weight", _conv(src[key], 8))
+        elif m := re.match(r"down\.(\d+)\.1\.", r):
+            s = int(m.group(1))
+            _map_bn(tb, src, f"{bp}down.{s}.1", f"{out}/down{s}_norm")
+        elif m := re.match(r"up\.(\d+)\.0\.weight", r):
+            s = int(m.group(1))
+            # up[s] is used at the decode step for skip level s (same index)
+            tb.param(f"{out}/up{s}_weight", _conv(src[key], 8))
+        elif m := re.match(r"up\.(\d+)\.1\.", r):
+            s = int(m.group(1))
+            _map_bn(tb, src, f"{bp}up.{s}.1", f"{out}/up{s}_norm")
+        elif m := re.match(r"enc\.(\d+)\.block(\d+)\.", r):
+            basic_block(f"{bp}enc.{m.group(1)}.block{m.group(2)}", f"{out}/enc{m.group(1)}_block{m.group(2)}")
+        elif m := re.match(r"dec\.(\d+)\.block(\d+)\.", r):
+            basic_block(f"{bp}dec.{m.group(1)}.block{m.group(2)}", f"{out}/dec{m.group(1)}_block{m.group(2)}")
+        elif r.startswith("final."):
+            if r == "final.weight":
+                tb.param(f"{out}/final_weight", _conv(src[key], 1))
+            else:
+                tb.param(f"{out}/final_bias", src[key])
+        else:
+            unmatched.append(key)
+    return tb.params, tb.stats, sorted(set(unmatched))
+
+
+CONVERTERS = {
+    "PT-v3m1": convert_ptv3,
+    "SpUNet-v1m1": convert_spunet,
+}
+
+
+def convert_state_dict(state_dict: dict, model_type: str, **kwargs):
+    if model_type not in CONVERTERS:
+        raise KeyError(f"No converter for {model_type}; available: {list(CONVERTERS)}")
+    return CONVERTERS[model_type](state_dict, **kwargs)

@@ -1,0 +1,196 @@
+"""PointBatch: the static-shape batched point-cloud structure (TPU-native `Point`).
+
+Reference counterpart: `pointcept/models/utils/structure.py:20` (`Point`, an
+addict dict with ragged offset-concatenated tensors). XLA wants static shapes,
+so the central design change is: a batch is a **fixed-capacity** concatenation of
+scenes, padded to ``capacity`` points; ``batch[i]`` is the scene id (-1 for
+padding), ``mask`` marks valid points, and per-scene counts replace the ragged
+``offset`` vector. ``num_scenes`` (max scenes) and ``capacity`` are static.
+
+`serialize()` mirrors `Point.serialization()` (`structure.py:53-110`): encodes
+each requested curve order into int32 key triples, sorts (padding last via a
+batch sentinel), and records order/inverse permutations.
+
+`patch_partition()` replaces `SerializedAttention.get_padding_and_inverse()`
+(`point_transformer_v3m1_base.py:115-170`): every scene is padded to a multiple
+of the patch size K by re-using the points one patch earlier (the reference's
+tail-duplication rule), yielding a **static** [num_patches, K] slot layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pointcept_tpu.ops import serialization as ser
+
+
+def offset2batch(offset: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative offsets -> per-point scene ids (reference `models/utils/misc.py:12`)."""
+    counts = jnp.diff(jnp.concatenate([jnp.zeros(1, offset.dtype), offset]))
+    return jnp.repeat(jnp.arange(len(offset)), counts, total_repeat_length=int(offset[-1]))
+
+
+def batch2offset(batch: jnp.ndarray) -> jnp.ndarray:
+    """Per-point scene ids -> cumulative offsets."""
+    counts = jnp.bincount(batch)
+    return jnp.cumsum(counts)
+
+
+@struct.dataclass
+class PointBatch:
+    """A fixed-capacity batch of point clouds (pytree).
+
+    Array fields all have leading dim = capacity; `batch == -1` marks padding.
+    """
+
+    coord: jnp.ndarray  # [N, 3] float32 (meters)
+    feat: jnp.ndarray  # [N, C] float32
+    grid_coord: jnp.ndarray  # [N, 3] int32 voxel coords (>= 0)
+    batch: jnp.ndarray  # [N] int32 scene id, -1 = padding
+    origin_coord: Optional[jnp.ndarray] = None  # [N, 3] pre-augmentation coords (SSL)
+    # optional per-point labels (may be None)
+    segment: Optional[jnp.ndarray] = None  # [N] int32, -1 = ignore
+    instance: Optional[jnp.ndarray] = None  # [N] int32
+    instance_centroid: Optional[jnp.ndarray] = None  # [N, 3] per-point instance centroid
+    # optional conditioning (PPT multi-dataset)
+    condition: Optional[str] = struct.field(pytree_node=False, default=None)
+    context: Optional[jnp.ndarray] = None
+    # serialization state (filled by serialize())
+    serialized_keys: Optional[jnp.ndarray] = None  # [S, N, 3] int32 key triples
+    serialized_order: Optional[jnp.ndarray] = None  # [S, N] int32
+    serialized_inverse: Optional[jnp.ndarray] = None  # [S, N] int32
+    serialized_depth: int = struct.field(pytree_node=False, default=0)
+    # static batch geometry
+    num_scenes: int = struct.field(pytree_node=False, default=1)
+
+    # ------------------------------------------------------------------ helpers
+    @property
+    def capacity(self) -> int:
+        return self.coord.shape[0]
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        return self.batch >= 0
+
+    @property
+    def num_points(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    def scene_counts(self) -> jnp.ndarray:
+        """[num_scenes] int32 valid-point count per scene."""
+        b = jnp.where(self.batch >= 0, self.batch, self.num_scenes)
+        return jax.ops.segment_sum(
+            jnp.ones_like(b), b, num_segments=self.num_scenes + 1
+        )[: self.num_scenes].astype(jnp.int32)
+
+    def with_grid_coord(self, grid_size: float) -> "PointBatch":
+        """Derive voxel grid coords from metric coords when absent (reference
+        `Point.serialization`, `structure.py:56-63`): per-scene min-shifted
+        floor(coord / grid_size)."""
+        if self.grid_coord is not None:
+            return self
+        b = jnp.clip(self.batch, 0, self.num_scenes - 1)
+        big = jnp.float32(1e9)
+        coord = jnp.where(self.mask[:, None], self.coord, big)
+        mins = jax.ops.segment_min(coord, b, num_segments=self.num_scenes)
+        mins = jnp.where(jnp.isfinite(mins), mins, 0.0)
+        grid = jnp.floor((self.coord - mins[b]) / grid_size).astype(jnp.int32)
+        return self.replace(grid_coord=jnp.maximum(grid, 0))
+
+    def key_batch(self) -> jnp.ndarray:
+        """Batch ids with padding mapped to the sort sentinel (sorts last)."""
+        return jnp.where(self.batch >= 0, self.batch, ser.BATCH_SENTINEL).astype(jnp.int32)
+
+    # -------------------------------------------------------------- serialization
+    def serialize(
+        self,
+        orders: Sequence[str] = ("z", "z-trans", "hilbert", "hilbert-trans"),
+        depth: int = 12,
+        shuffle_key: Optional[jax.Array] = None,
+    ) -> "PointBatch":
+        """Compute per-order curve codes, orders and inverses.
+
+        Parity: reference `Point.serialization` (`structure.py:53-110`). `depth`
+        is static (the reference adapts it to the data; a fixed per-dataset depth
+        keeps shapes/jit static — grid coords are clipped into range).
+        """
+        assert depth <= 16
+        gc = jnp.clip(self.grid_coord, 0, (1 << depth) - 1)
+        kb = self.key_batch()
+        keys = ser.encode_all(gc, kb, depth, orders)  # [S, N, 3]
+        order = jnp.stack([ser.argsort_keys(keys[i]) for i in range(len(orders))])
+        inverse = jnp.stack([ser.invert_order(order[i]) for i in range(len(orders))])
+        if shuffle_key is not None:
+            perm = jax.random.permutation(shuffle_key, len(orders))
+            keys, order, inverse = keys[perm], order[perm], inverse[perm]
+        return self.replace(
+            serialized_keys=keys,
+            serialized_order=order,
+            serialized_inverse=inverse,
+            serialized_depth=depth,
+        )
+
+    def shuffle_orders_(self, key: jax.Array) -> "PointBatch":
+        perm = jax.random.permutation(key, self.serialized_order.shape[0])
+        return self.replace(
+            serialized_keys=self.serialized_keys[perm],
+            serialized_order=self.serialized_order[perm],
+            serialized_inverse=self.serialized_inverse[perm],
+        )
+
+    # ---------------------------------------------------------- patch partition
+    def patch_partition(self, order_index: int, patch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Static patch layout for serialized attention.
+
+        Returns:
+          slot_to_point: [P] int32 — point index feeding each attention slot
+            (P = patch-aligned capacity; dead slots point at point 0).
+          point_to_slot: [N] int32 — the slot holding each point's own output.
+
+        Scene tails are filled by re-reading the points one patch earlier
+        (reference `get_padding_and_inverse`, `point_transformer_v3m1_base.py:141-158`);
+        scenes smaller than one patch wrap cyclically (the reference leaves them
+        ragged, which a static layout cannot).
+        """
+        assert self.serialized_order is not None, "call serialize() first"
+        K = patch_size
+        B = self.num_scenes
+        order = self.serialized_order[order_index]
+        inverse = self.serialized_inverse[order_index]
+        n = self.scene_counts()  # [B]
+        p = ((n + K - 1) // K) * K  # padded per-scene counts
+        s_excl = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(n)[:-1].astype(jnp.int32)])
+        q_incl = jnp.cumsum(p).astype(jnp.int32)
+        q_excl = jnp.concatenate([jnp.zeros(1, jnp.int32), q_incl[:-1]])
+
+        P = self.padded_capacity(K)
+        t = jnp.arange(P, dtype=jnp.int32)
+        scene = jnp.searchsorted(q_incl, t, side="right").astype(jnp.int32)
+        live = scene < B
+        scene_c = jnp.clip(scene, 0, B - 1)
+        o = t - q_excl[scene_c]
+        n_s = n[scene_c]
+        idx = jnp.where(
+            o < n_s,
+            o,
+            jnp.where(o >= K, o - K, o % jnp.maximum(n_s, 1)),
+        )
+        idx = jnp.minimum(idx, jnp.maximum(n_s - 1, 0))
+        g = s_excl[scene_c] + idx
+        slot_to_point = jnp.where(live & (n_s > 0), order[jnp.clip(g, 0, self.capacity - 1)], 0)
+
+        # point -> its first-occurrence slot
+        gpos = inverse  # sorted position of each point
+        pscene = jnp.clip(self.batch, 0, B - 1)
+        slot = q_excl[pscene] + (gpos - s_excl[pscene])
+        point_to_slot = jnp.clip(jnp.where(self.mask, slot, 0), 0, P - 1)
+        return slot_to_point, point_to_slot
+
+    def padded_capacity(self, patch_size: int) -> int:
+        """Static upper bound on the patch-aligned slot count."""
+        K = patch_size
+        return ((self.capacity + K - 1) // K + self.num_scenes) * K

@@ -1,0 +1,81 @@
+"""Serialized patch attention — the PTv3 hot path, TPU-native.
+
+Reference counterpart: `SerializedAttention`
+(`pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py:51-222`),
+which gathers qkv along the curve order, pads each scene to a multiple of the
+patch size, and runs `flash_attn_varlen_qkvpacked_func` (bf16). Here the padded
+layout is fully static (see `PointBatch.patch_partition`), so attention is a
+dense batched [num_patches, K, K] softmax-attention — exactly the shape the MXU
+wants. Softmax runs in f32 (matching flash-attn's internal accumulation); an
+optional additive bias supports the RPE variant (`RPE`, same file `:29-48`).
+
+A fused Pallas flash kernel (`pointcept_tpu/ops/pallas/flash_attention.py`) is
+used for large K when available; this module is the always-correct XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def patch_attention(
+    qkv: jnp.ndarray,  # [N, 3*C]
+    slot_to_point: jnp.ndarray,  # [P]
+    point_to_slot: jnp.ndarray,  # [N]
+    num_heads: int,
+    patch_size: int,
+    scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,  # [num_patches, H, K, K]
+    compute_dtype=jnp.bfloat16,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Returns [N, C] attention output per point."""
+    n, c3 = qkv.shape
+    c = c3 // 3
+    h = num_heads
+    d = c // h
+    k = patch_size
+    p = slot_to_point.shape[0]
+    assert p % k == 0
+    np_ = p // k
+    if scale is None:
+        scale = d**-0.5
+
+    qkv_p = jnp.take(qkv, slot_to_point, axis=0)  # [P, 3C]
+    qkv_p = qkv_p.reshape(np_, k, 3, h, d)
+    q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)  # [nP, H, K, D]
+    kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
+
+    if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128:
+        from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention
+
+        out = flash_patch_attention(q, kk, v, scale=scale)  # [nP, H, K, D]
+    else:
+        q = q.astype(compute_dtype)
+        kk = kk.astype(compute_dtype)
+        v = v.astype(compute_dtype)
+        # full f32 when requested (TPU default matmul precision is bf16-ish)
+        prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+        attn = jnp.einsum(
+            "phkd,phmd->phkm", q * scale, kk, preferred_element_type=jnp.float32, precision=prec
+        )
+        if bias is not None:
+            attn = attn + bias
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(compute_dtype)
+        out = jnp.einsum("phkm,phmd->phkd", attn, v, preferred_element_type=jnp.float32, precision=prec)
+
+    out = out.transpose(0, 2, 1, 3).reshape(p, c)  # [P, C]
+    return jnp.take(out, point_to_slot, axis=0).astype(qkv.dtype)  # [N, C]
+
+
+def _pallas_available() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False

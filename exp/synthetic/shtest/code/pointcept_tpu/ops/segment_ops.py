@@ -1,0 +1,47 @@
+"""Segment reductions (TPU equivalents of torch_scatter's segment_csr/scatter_*).
+
+The reference leans on `torch_scatter.segment_csr` (e.g. PTv3 pooling,
+`point_transformer_v3m1_base.py:416`; classifier mean-pool, `models/default.py:332`).
+Here segments are identified by per-element segment ids with a **static**
+``num_segments`` (XLA requirement); jax.ops.segment_* lowers to efficient sorted
+scatters on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_reduce(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int, reduce: str = "sum"):
+    """Reduce rows of `data` by segment id. ids >= num_segments are dropped.
+
+    reduce in {sum, mean, max, min}. Rows for empty segments are 0 (sum/mean)
+    or 0 (max/min — clamped from the identity, matching segment_csr's behavior
+    of never producing inf for present segments; callers mask empty segments).
+    """
+    # route out-of-range ids to a garbage bucket
+    oob = segment_ids >= num_segments
+    ids = jnp.where(oob, num_segments, segment_ids)
+    n = num_segments + 1
+    if reduce == "sum":
+        out = jax.ops.segment_sum(data, ids, num_segments=n)
+    elif reduce == "mean":
+        s = jax.ops.segment_sum(data, ids, num_segments=n)
+        c = jax.ops.segment_sum(jnp.ones((data.shape[0],) + (1,) * (data.ndim - 1), data.dtype), ids, num_segments=n)
+        out = s / jnp.maximum(c, 1)
+    elif reduce == "max":
+        out = jax.ops.segment_max(data, ids, num_segments=n)
+        out = jnp.where(jnp.isfinite(out), out, 0)
+    elif reduce == "min":
+        out = jax.ops.segment_min(data, ids, num_segments=n)
+        out = jnp.where(jnp.isfinite(out), out, 0)
+    else:
+        raise ValueError(f"unknown reduce {reduce}")
+    return out[:num_segments]
+
+
+def masked_segment_reduce(data, segment_ids, mask, num_segments: int, reduce: str = "sum"):
+    """segment_reduce ignoring rows where mask is False."""
+    ids = jnp.where(mask, segment_ids, num_segments)
+    return segment_reduce(data, ids, num_segments, reduce=reduce)

@@ -1,0 +1,172 @@
+"""Space-filling-curve serialization of voxel grids — pure int32 JAX.
+
+TPU-native rework of the reference's serialization layer
+(`pointcept/models/utils/serialization/{default,z_order,hilbert}.py`): the
+reference packs codes into int64 (`batch << 3*depth | code`); XLA on TPU prefers
+32-bit integer lanes and JAX defaults to int32, so codes here are **key triples**
+``(batch, hi, lo)`` of int32 — ``hi`` holds the top ``3*depth-30`` curve bits,
+``lo`` the low 30 bits — sorted lexicographically with ``jax.lax.sort``.
+
+Orders supported (parity with reference `serialization/default.py:9`):
+``z``, ``z-trans`` (x/y swapped), ``hilbert``, ``hilbert-trans``.
+
+Morton (z-order) bit layout matches reference `z_order.py:40` — per level the x
+bit is most significant: ``key = ... x<<(3i+2) | y<<(3i+1) | z<<3i``.
+
+Hilbert codes match reference `hilbert.py:91` (Skilling's algorithm); here it is
+the word-level Skilling transform on int32 coordinate words followed by the same
+Morton interleave, verified bit-exact against golden vectors from the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+# Sentinel batch id for padding slots: sorts after every real scene.
+BATCH_SENTINEL = jnp.int32(2**22)
+
+
+def _part1by2_10(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so bit i lands at position 3*i (int32-safe)."""
+    x = v & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_encode_pair(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, depth: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3D Morton code as an int32 (hi, lo) pair; x is the most significant axis.
+
+    lo = interleave of the low 10 bits of each axis (30 bits);
+    hi = interleave of bits 10..15 (up to 18 bits). Total 3*depth bits, depth<=16.
+    """
+    assert depth <= 16, "depth must be <= 16 (reference asserts the same)"
+    x = x.astype(jnp.int32)
+    y = y.astype(jnp.int32)
+    z = z.astype(jnp.int32)
+    lo = (_part1by2_10(x) << 2) | (_part1by2_10(y) << 1) | _part1by2_10(z)
+    if depth > 10:
+        hi = (_part1by2_10(x >> 10) << 2) | (_part1by2_10(y >> 10) << 1) | _part1by2_10(z >> 10)
+    else:
+        hi = jnp.zeros_like(lo)
+    return hi, lo
+
+
+def hilbert_transform(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, depth: int):
+    """Skilling's AxesToTranspose: after this transform, the Morton interleave of
+    (x, y, z) equals the Hilbert index. Word-level, int32, vectorized over points.
+    """
+    coords = [x.astype(jnp.int32), y.astype(jnp.int32), z.astype(jnp.int32)]
+    m = jnp.int32(1 << (depth - 1))
+    # Inverse-undo loop (static trip count: depth-1 levels x 3 dims).
+    q = 1 << (depth - 1)
+    while q > 1:
+        p = jnp.int32(q - 1)
+        for i in range(3):
+            cond = (coords[i] & q) != 0
+            # bit set   -> invert low bits of dim 0
+            inverted0 = coords[0] ^ p
+            # bit clear -> exchange low bits of dim 0 and dim i
+            t = (coords[0] ^ coords[i]) & p
+            swapped0 = coords[0] ^ t
+            swappedi = coords[i] ^ t
+            coords[0] = jnp.where(cond, inverted0, swapped0)
+            if i != 0:
+                coords[i] = jnp.where(cond, coords[i], swappedi)
+        q >>= 1
+    # Gray decode in transpose space.
+    coords[1] = coords[1] ^ coords[0]
+    coords[2] = coords[2] ^ coords[1]
+    t = jnp.zeros_like(coords[0])
+    q = 1 << (depth - 1)
+    while q > 1:
+        t = jnp.where((coords[2] & q) != 0, t ^ jnp.int32(q - 1), t)
+        q >>= 1
+    return coords[0] ^ t, coords[1] ^ t, coords[2] ^ t
+
+
+def encode(grid_coord: jnp.ndarray, batch: jnp.ndarray, depth: int, order: str = "z") -> jnp.ndarray:
+    """Encode [N,3] grid coords + [N] batch ids into key triples [N,3] int32.
+
+    Column 0 = batch id (primary key), 1 = hi curve bits, 2 = low 30 curve bits.
+    Parity with reference `serialization/default.py:encode` (which returns
+    ``batch << 3*depth | code`` as int64).
+    """
+    assert order in ORDERS, f"unknown order {order}"
+    if order.endswith("-trans"):
+        x, y, z = grid_coord[:, 1], grid_coord[:, 0], grid_coord[:, 2]
+    else:
+        x, y, z = grid_coord[:, 0], grid_coord[:, 1], grid_coord[:, 2]
+    if order.startswith("hilbert"):
+        x, y, z = hilbert_transform(x, y, z, depth)
+    hi, lo = morton_encode_pair(x, y, z, depth)
+    return jnp.stack([batch.astype(jnp.int32), hi, lo], axis=-1)
+
+
+def encode_all(grid_coord: jnp.ndarray, batch: jnp.ndarray, depth: int, orders: Sequence[str]) -> jnp.ndarray:
+    """Encode all requested orders: returns [S, N, 3] int32 key triples."""
+    return jnp.stack([encode(grid_coord, batch, depth, o) for o in orders], axis=0)
+
+
+def key_shift_right(keys: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Right-shift the (hi, lo) curve code of key triples by `bits` (batch kept).
+
+    Equivalent of the reference's ``code >> pooling_depth * 3``
+    (`point_transformer_v3m1_base.py:383`).
+    """
+    if bits == 0:
+        return keys
+    assert 0 < bits < 30
+    b, hi, lo = keys[..., 0], keys[..., 1], keys[..., 2]
+    new_lo = ((lo >> bits) & ((1 << (30 - bits)) - 1)) | ((hi & ((1 << bits) - 1)) << (30 - bits))
+    new_hi = hi >> bits
+    return jnp.stack([b, new_hi, new_lo], axis=-1)
+
+
+def argsort_keys(keys: jnp.ndarray) -> jnp.ndarray:
+    """Argsort of key triples (unstable: keys are unique per valid voxel) [N,3] -> order [N] int32."""
+    n = keys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (keys[:, 0], keys[:, 1], keys[:, 2], iota), num_keys=3, is_stable=False
+    )
+    return sorted_ops[3]
+
+
+def sort_keys_with_payload(keys: jnp.ndarray, *payload: jnp.ndarray):
+    """Lexicographic sort of [N,3] keys carrying extra [N] payload arrays.
+
+    Returns (sorted_keys [N,3], *sorted_payloads).
+    """
+    ops = jax.lax.sort(
+        (keys[:, 0], keys[:, 1], keys[:, 2]) + tuple(payload), num_keys=3, is_stable=False
+    )
+    return jnp.stack(ops[:3], axis=-1), *ops[3:]
+
+
+def invert_order(order: jnp.ndarray) -> jnp.ndarray:
+    """inverse[order[i]] = i (reference `structure.py:93-100`)."""
+    n = order.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    return jnp.zeros((n,), jnp.int32).at[order].set(iota)
+
+
+def keys_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise equality of key triples -> bool over leading dims."""
+    return jnp.all(a == b, axis=-1)
+
+
+def keys_to_int64_np(keys, depth: int):
+    """Host-side helper (numpy, tests/debug only): fold key triple to python ints."""
+    import numpy as np
+
+    k = np.asarray(keys).astype(np.int64)
+    return (k[..., 0] << (3 * depth)) | (k[..., 1] << 30) | k[..., 2]
