@@ -387,3 +387,30 @@ def test_scannetpp_preprocessing_scene():
         assert (seg[25:] == -1).all()  # unmapped label + unlabeled tail
         assert os.path.isfile(os.path.join(out, "coord.npy"))
         assert os.path.isfile(os.path.join(out, "normal.npy"))
+
+
+def test_structured3d_panorama_backprojection():
+    import tempfile, os
+    from PIL import Image
+    from pointcept_tpu.datasets.preprocessing.structured3d import parse_panorama_view
+
+    with tempfile.TemporaryDirectory() as d:
+        full = os.path.join(d, "panorama", "full")
+        os.makedirs(full)
+        h, w = 16, 32
+        depth = np.full((h, w), 2000, np.uint16)  # 2 m everywhere -> sphere
+        Image.fromarray(depth, mode="I;16").save(os.path.join(full, "depth.png"))
+        rng = np.random.RandomState(0)
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            os.path.join(full, "rgb_rawlight.png"))
+        Image.fromarray(np.full((h, w), 5, np.uint8)).save(os.path.join(full, "semantic.png"))
+        np.savetxt(os.path.join(d, "panorama", "camera_xyz.txt"), np.array([1000.0, 2000.0, 500.0]))
+        pts, color, normal, seg = parse_panorama_view(d)
+        assert pts.shape == (h * w, 3)
+        # all points on a 2 m sphere around (1, 2, 0.5)
+        r = np.linalg.norm(pts - np.array([1.0, 2.0, 0.5]), axis=1)
+        np.testing.assert_allclose(r, 2.0, atol=1e-6)
+        assert (seg == 5).all()
+        # normals are unit (or zero at the seam rows)
+        nn = np.linalg.norm(normal, axis=1)
+        assert ((np.abs(nn - 1) < 1e-3) | (nn < 1e-6)).mean() > 0.8
