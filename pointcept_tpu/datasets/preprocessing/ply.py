@@ -73,19 +73,46 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
         assert fmt == "binary_little_endian", f"unsupported format {fmt}"
         for name, count, props in elements:
             if any(p[0] == "list" for p in props):
-                # list property (faces): parse row by row
-                assert len(props) == 1, "mixed list/scalar elements unsupported"
-                _, idx_t, val_t, _pname = props[0]
-                idx_size = np.dtype(idx_t).itemsize
-                val_size = np.dtype(val_t).itemsize
-                rows = []
-                for _ in range(count):
-                    (k,) = np.frombuffer(f.read(idx_size), dtype=idx_t)
-                    rows.append(np.frombuffer(f.read(val_size * int(k)), dtype=val_t))
-                if count and all(len(r) == len(rows[0]) for r in rows):
-                    out[name] = np.stack(rows)
+                if len(props) == 1:
+                    # single list property (plain mesh faces): parse row by row
+                    _, idx_t, val_t, _pname = props[0]
+                    idx_size = np.dtype(idx_t).itemsize
+                    val_size = np.dtype(val_t).itemsize
+                    rows = []
+                    for _ in range(count):
+                        (k,) = np.frombuffer(f.read(idx_size), dtype=idx_t)
+                        rows.append(np.frombuffer(f.read(val_size * int(k)), dtype=val_t))
+                    if count and all(len(r) == len(rows[0]) for r in rows):
+                        out[name] = np.stack(rows)
+                    else:
+                        out[name] = np.array(rows, dtype=object)
                 else:
-                    out[name] = np.array(rows, dtype=object)
+                    # mixed list/scalar element (e.g. Matterport faces with
+                    # vertex_indices + material/segment/category ids): return a
+                    # dict of per-property arrays
+                    cols = {(p[3] if p[0] == "list" else p[0]): [] for p in props}
+                    for _ in range(count):
+                        for p in props:
+                            if p[0] == "list":
+                                _, idx_t, val_t, pname = p
+                                (k,) = np.frombuffer(f.read(np.dtype(idx_t).itemsize), dtype=idx_t)
+                                cols[pname].append(
+                                    np.frombuffer(f.read(np.dtype(val_t).itemsize * int(k)), dtype=val_t)
+                                )
+                            else:
+                                pname, t = p
+                                (val,) = np.frombuffer(f.read(np.dtype(t).itemsize), dtype=t)
+                                cols[pname].append(val)
+                    packed = {}
+                    for key, vals in cols.items():
+                        if vals and isinstance(vals[0], np.ndarray):
+                            if all(len(v) == len(vals[0]) for v in vals):
+                                packed[key] = np.stack(vals) if vals else np.zeros((0,))
+                            else:
+                                packed[key] = np.array(vals, dtype=object)
+                        else:
+                            packed[key] = np.asarray(vals)
+                    out[name] = packed
             else:
                 dt = np.dtype([(p[0], "<" + p[1]) for p in props])
                 out[name] = np.frombuffer(f.read(dt.itemsize * count), dtype=dt).copy()

@@ -414,3 +414,34 @@ def test_structured3d_panorama_backprojection():
         # normals are unit (or zero at the seam rows)
         nn = np.linalg.norm(normal, axis=1)
         assert ((np.abs(nn - 1) < 1e-3) | (nn < 1e-6)).mean() > 0.8
+
+
+def test_matterport_mixed_ply_and_mapping():
+    import tempfile, os, struct
+    from pointcept_tpu.datasets.preprocessing.matterport3d import parse_region
+
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as d:
+        n, f = 6, 2
+        ply = os.path.join(d, "region0.ply")
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {n}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {f}\n"
+            "property list uchar int vertex_indices\n"
+            "property int category_id\n"
+            "end_header\n"
+        ).encode()
+        with open(ply, "wb") as fh:
+            fh.write(header)
+            for i in range(n):
+                fh.write(struct.pack("<3f", *rng.rand(3)))
+            fh.write(struct.pack("<B3ii", 3, 0, 1, 2, 1))  # face 0: cat 1
+            fh.write(struct.pack("<B3ii", 3, 3, 4, 5, 2))  # face 1: cat 2
+        out = os.path.join(d, "out")
+        mapping = np.array([0, 5, 0])  # cat 1 -> nyu 5; cat 2 unmapped
+        parse_region(ply, out, mapping)
+        seg = np.load(os.path.join(out, "segment.npy"))
+        np.testing.assert_array_equal(seg[:3], 4)  # nyu 5 -> class 4 (0-based)
+        np.testing.assert_array_equal(seg[3:], -1)
