@@ -445,3 +445,14 @@ def test_matterport_mixed_ply_and_mapping():
         seg = np.load(os.path.join(out, "segment.npy"))
         np.testing.assert_array_equal(seg[:3], 4)  # nyu 5 -> class 4 (0-based)
         np.testing.assert_array_equal(seg[3:], -1)
+
+
+def test_arkitscenes_vertex_normals():
+    from pointcept_tpu.datasets.preprocessing.arkitscenes import vertex_normals
+
+    # flat square in z=0 plane -> all normals +-z
+    coord = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float64)
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    n = vertex_normals(coord, faces)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(n[:, :2], 0.0, atol=1e-6)
