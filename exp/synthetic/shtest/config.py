@@ -1,4 +1,4 @@
-weight = None
+weight = 'exp/synthetic/shtest/model/model_best'
 resume = False
 evaluate = True
 test_only = False
