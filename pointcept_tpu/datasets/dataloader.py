@@ -34,6 +34,7 @@ class MultiDatasetDataloader:
         for dataset in self.datasets:
             dataset.loop = 1
         self.concat_dataset = concat_dataset
+        self.dataset = concat_dataset  # trainer samples init batches from here
         self.batch_size = batch_size_per_gpu
         logger = get_root_logger()
         self.dataloaders = []

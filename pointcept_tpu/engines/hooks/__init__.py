@@ -11,4 +11,10 @@ from .misc import (
     RuntimeProfilerV2,
     SonataHook,
 )
-from .evaluator import SemSegEvaluator, ClsEvaluator
+from .evaluator import (
+    SemSegEvaluator,
+    ClsEvaluator,
+    InsSegEvaluator,
+    ShapeNetPartSegEvaluator,
+    PartNetEPartSegEvaluator,
+)

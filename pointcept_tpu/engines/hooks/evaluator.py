@@ -31,8 +31,10 @@ class SemSegEvaluator(HookBase):
         target_sum = np.zeros(num_classes)
         losses = []
         for i, batch in enumerate(trainer.val_loader):
-            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
-            res = trainer.eval_step(trainer.state, arrays)
+            arrays = {
+                k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "condition")
+            }
+            res = trainer.eval_step(trainer.state, arrays, batch.get("condition"))
             inter = np.asarray(res["intersection"])
             union = np.asarray(res["union"])
             target = np.asarray(res["target"])
@@ -177,3 +179,112 @@ class InsSegEvaluator(HookBase):
         trainer.logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         trainer.comm_info["current_metric_value"] = result["mAP"]
         trainer.comm_info["current_metric_name"] = "mAP"
+
+
+@HOOKS.register_module()
+class ShapeNetPartSegEvaluator(HookBase):
+    """Per-epoch part-seg eval (reference hooks/evaluator.py:648): per-sample
+    category-masked part IoU, reported as instance-mean and category-mean."""
+
+    def after_epoch(self):
+        if self.trainer.cfg.get("evaluate", True) and self.trainer.val_loader is not None:
+            self.eval()
+
+    def eval(self):
+        import jax
+        from pointcept_tpu.datasets.shapenet_part import ShapeNetPartDataset
+        from pointcept_tpu.engines.train import make_point_batch
+
+        trainer = self.trainer
+        trainer.logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        model = trainer.model
+        cat2part = ShapeNetPartDataset.category2part
+        categories = ShapeNetPartDataset.categories
+        iou_per_cat = {c: [] for c in range(len(categories))}
+        for batch in trainer.val_loader:
+            arrays = {k: jnp.asarray(v[0]) for k, v in batch.items() if k not in ("num_scenes", "condition")}
+            cats = np.asarray(arrays.pop("category"))
+            pb = make_point_batch(arrays, batch["num_scenes"])
+            out = model.apply(
+                {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+                pb, train=False, category=jnp.asarray(cats),
+            ) if "category" in model.__call__.__code__.co_varnames else model.apply(
+                {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+                pb, train=False,
+            )
+            logits = np.asarray(out["seg_logits"] if isinstance(out, dict) else out.feat)
+            seg = np.asarray(pb.segment)
+            bidx = np.asarray(pb.batch)
+            for s, cat in enumerate(cats):
+                if cat < 0:
+                    continue
+                sel = bidx == s
+                parts = cat2part[categories[int(cat)]]
+                masked = np.full_like(logits[sel], -1e9)
+                masked[:, parts] = logits[sel][:, parts]
+                pred = masked.argmax(-1)
+                gt = seg[sel]
+                ious = []
+                for p in parts:
+                    u = ((pred == p) | (gt == p)).sum()
+                    ious.append(((pred == p) & (gt == p)).sum() / u if u > 0 else 1.0)
+                iou_per_cat[int(cat)].append(float(np.mean(ious)))
+        vals = [v for lst in iou_per_cat.values() for v in lst]
+        ins_miou = float(np.mean(vals)) if vals else 0.0
+        cat_miou = float(np.mean([np.mean(l) for l in iou_per_cat.values() if l])) if vals else 0.0
+        trainer.logger.info("Val result: ins.mIoU/cat.mIoU {:.4f}/{:.4f}".format(ins_miou, cat_miou))
+        trainer.logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        trainer.comm_info["current_metric_value"] = ins_miou
+        trainer.comm_info["current_metric_name"] = "ins.mIoU"
+
+
+@HOOKS.register_module()
+class PartNetEPartSegEvaluator(HookBase):
+    """Per-epoch PartNetE eval (reference hooks/evaluator.py:790): per-part IoU
+    accumulation over the category's parts (skipping "other")."""
+
+    def after_epoch(self):
+        if self.trainer.cfg.get("evaluate", True) and self.trainer.val_loader is not None:
+            self.eval()
+
+    def eval(self):
+        from pointcept_tpu.engines.train import make_point_batch
+
+        trainer = self.trainer
+        trainer.logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        model = trainer.model
+        ds = trainer.val_loader.dataset
+        num_parts_total = int(sum(ds.num_parts))
+        iou_sum = np.zeros(num_parts_total)
+        iou_cnt = np.zeros(num_parts_total)
+        for batch in trainer.val_loader:
+            arrays = {k: jnp.asarray(v[0]) for k, v in batch.items() if k not in ("num_scenes", "condition", "cls_token")}
+            toks = np.asarray(batch.get("cls_token", np.zeros(batch["num_scenes"], np.int32))).reshape(-1)
+            pb = make_point_batch(arrays, batch["num_scenes"])
+            out = model.apply(
+                {"params": trainer.state.params, "batch_stats": trainer.state.batch_stats},
+                pb, train=False,
+            )
+            logits = np.asarray(out["seg_logits"] if isinstance(out, dict) else out.feat)
+            seg = np.asarray(pb.segment)
+            bidx = np.asarray(pb.batch)
+            pred = logits.argmax(-1)
+            for s, tok in enumerate(toks):
+                sel = bidx == s
+                parts = ds.category2part[ds.categories[int(tok)]]
+                for k, part_id in enumerate(parts):
+                    if k == 0:
+                        continue
+                    gid = part_id + 1
+                    inter = ((pred[sel] == gid) & (seg[sel] == gid)).sum()
+                    union = ((pred[sel] == gid) | (seg[sel] == gid)).sum()
+                    if union == 0:
+                        continue
+                    iou_sum[part_id] += inter / union
+                    iou_cnt[part_id] += 1
+        present = iou_cnt > 0
+        miou = float((iou_sum[present] / iou_cnt[present]).mean()) if present.any() else 0.0
+        trainer.logger.info("Val result: part.mIoU {:.4f}".format(miou))
+        trainer.logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        trainer.comm_info["current_metric_value"] = miou
+        trainer.comm_info["current_metric_name"] = "part.mIoU"

@@ -443,7 +443,7 @@ class Trainer(TrainerBase):
             self.storage.put_scalar("lr", lr, smoothing_hint=False)
 
     # ---------------------------------------------------------------- eval step
-    def _build_eval_step(self):
+    def _build_eval_step(self, condition=None):
         model = self.model
         num_scenes_val = (self.cfg.get("batch_size_val") or self.num_devices) // self.num_devices
         num_classes = self.cfg.data.num_classes
@@ -452,7 +452,7 @@ class Trainer(TrainerBase):
 
         def step_fn(state: TrainState, arrays: Dict[str, jnp.ndarray]):
             arrays = {k: v[0] for k, v in arrays.items()}
-            pb = make_point_batch(arrays, num_scenes_val)
+            pb = make_point_batch(arrays, num_scenes_val, condition)
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats}, pb, train=False
             )
@@ -482,9 +482,16 @@ class Trainer(TrainerBase):
 
     @property
     def eval_step(self):
+        # per-condition cache (PPT multi-dataset validation)
         if self._eval_step_fn is None:
-            self._eval_step_fn = self._build_eval_step()
-        return self._eval_step_fn
+            self._eval_step_fn = {}
+
+        def dispatch(state, arrays, condition=None):
+            if condition not in self._eval_step_fn:
+                self._eval_step_fn[condition] = self._build_eval_step(condition)
+            return self._eval_step_fn[condition](state, arrays)
+
+        return dispatch
 
     # ------------------------------------------------------- classification eval
     def _build_cls_eval_step(self):

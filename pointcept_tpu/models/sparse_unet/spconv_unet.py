@@ -102,17 +102,24 @@ class SpUNetBase(nn.Module):
     pdnorm_affine: bool = True
     pdnorm_conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
     zero_init: bool = False  # parity no-op (reference SpUNet-v1m3 flag)
+    # reference SpUNet-v1m3 keyword aliases (configs use these names)
+    conditions: Optional[Sequence[str]] = None
+    norm_decouple: Optional[bool] = None
+    norm_adaptive: Optional[bool] = None
+    norm_affine: Optional[bool] = None  # parity no-op (norms always affine)
+    context_channels: int = 256  # parity field (context arrives via pb.context)
+    enc_mode: bool = False  # parity field (v1m3 enc-only option; decoder always runs)
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool = False):
         assert len(self.layers) % 2 == 0 and len(self.layers) == len(self.channels)
         num_stages = len(self.layers) // 2
         pd = None
-        if self.pdnorm_bn:
+        if self.pdnorm_bn or self.conditions is not None:
             pd = dict(
-                conditions=tuple(self.pdnorm_conditions),
-                decouple=self.pdnorm_decouple,
-                adaptive=self.pdnorm_adaptive,
+                conditions=tuple(self.conditions if self.conditions is not None else self.pdnorm_conditions),
+                decouple=self.norm_decouple if self.norm_decouple is not None else self.pdnorm_decouple,
+                adaptive=self.norm_adaptive if self.norm_adaptive is not None else self.pdnorm_adaptive,
             )
         condition, context = pb.condition, pb.context
 
