@@ -57,6 +57,7 @@ class DefaultSegmentorV2(nn.Module):
     backbone: Any = None
     criteria: Any = None
     freeze_backbone: bool = False
+    up_cast_level: int = 0  # enc-mode backbones: concat this many skip levels (0 = all)
 
     def setup(self):
         self.backbone_module = build_model(dict(self.backbone))
@@ -67,6 +68,21 @@ class DefaultSegmentorV2(nn.Module):
 
     def __call__(self, pb: PointBatch, train: bool = False):
         out = self.backbone_module(pb, train)
+        if isinstance(out, tuple):  # enc-mode backbone: up-cast skip concat
+            out_pb, skips = out
+            skips = list(skips)
+            feat = out_pb.feat
+            levels = self.up_cast_level if self.up_cast_level else len(skips)
+            for _ in range(levels):
+                if not skips:
+                    break
+                skip_pb, cluster, _ctx = skips.pop()
+                m = feat.shape[0]
+                up = feat[jnp.minimum(cluster, m - 1)]
+                up = jnp.where((cluster < m)[:, None], up, 0)
+                feat = jnp.concatenate([skip_pb.feat, up], axis=-1)
+                out_pb = skip_pb.replace(feat=feat)
+            out = out_pb
         feat = out.feat
         if self.freeze_backbone:
             feat = jax.lax.stop_gradient(feat)
