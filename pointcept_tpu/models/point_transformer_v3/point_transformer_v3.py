@@ -36,7 +36,7 @@ from pointcept_tpu.models.utils.structure import PointBatch
 from pointcept_tpu.ops import serialization as ser
 from pointcept_tpu.ops.attention import patch_attention
 from pointcept_tpu.ops.segment_ops import segment_reduce
-from pointcept_tpu.ops.sparse_conv import build_subm_neighbor_map, gather_conv
+from pointcept_tpu.ops.sparse_conv import build_subm_neighbor_map, gather_conv, k3_columns_of_k5
 
 # torch kaiming_uniform(a=sqrt(5)) equivalent for conv/linear kernels
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
@@ -508,7 +508,11 @@ class PointTransformerV3(nn.Module):
 
         def build_ctx(pb, stage, patch_size):
             depth_s = self.serialize_depth - stage
-            nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
+            if stage == 0 and nbr5 is not None:
+                # the stage-0 k3 map is a column subset of the stem k5 map
+                nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
+            else:
+                nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
             parts = [pb.patch_partition(oi, patch_size) for oi in range(s_orders)]
             return dict(nbr3=nbr3, parts=parts)
 

@@ -24,6 +24,7 @@ from pointcept_tpu.ops import serialization as ser
 from pointcept_tpu.ops.sparse_conv import (
     build_strided_maps,
     build_subm_neighbor_map,
+    k3_columns_of_k5,
     gather_conv,
     inverse_conv,
     strided_conv,
@@ -193,9 +194,8 @@ class SpUNetBase(nn.Module):
             if s > 0:
                 nbr3 = levels[s]["nbr3"]
             else:
-                nbr3 = build_subm_neighbor_map(
-                    levels[0]["grid"], levels[0]["kb"], levels[0]["mask"], levels[0]["depth"], 3
-                )
+                # the level-0 k3 map is a column subset of the k5 stem map
+                nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
             for i in range(self.layers[num_stages + (num_stages - 1 - s)]):
                 feat = BasicBlock(dec_out, pd=pd, name=f"dec{s}_block{i}")(
                     feat, nbr3, lv_mask, train, condition, context

@@ -473,3 +473,13 @@ def depthwise_gather_conv(feat, nbr, weight, bias=None):
     if bias is not None:
         out = out + bias
     return out
+
+
+def k3_columns_of_k5() -> np.ndarray:
+    """Column indices selecting the 3^3 neighbor map out of a 5^3 map built at
+    the same resolution (kernel_offsets enumeration): nbr3 = nbr5[:, these].
+    Saves rebuilding the full-resolution k3 map after a k5 stem."""
+    offs5 = kernel_offsets(5)
+    offs3 = kernel_offsets(3)
+    lut = {tuple(o): i for i, o in enumerate(offs5.tolist())}
+    return np.asarray([lut[tuple(o)] for o in offs3.tolist()], np.int32)

@@ -221,3 +221,27 @@ def test_fused_neighbor_maps_match_single_stage():
     fused = build_fused_neighbor_maps(specs)
     for f, s in zip(fused, singles):
         np.testing.assert_array_equal(np.asarray(f), s)
+
+
+def test_k3_columns_of_k5():
+    from pointcept_tpu.ops.sparse_conv import k3_columns_of_k5
+
+    rng = np.random.RandomState(3)
+    n_valid, cap = 70, 96
+    grid = np.zeros((cap, 3), np.int32)
+    grid[:n_valid] = rng.randint(0, 8, size=(n_valid, 3))
+    batch = np.full(cap, -1, np.int32)
+    batch[:n_valid] = 0
+    key = grid[:n_valid, 0] * 64 + grid[:n_valid, 1] * 8 + grid[:n_valid, 2]
+    _, uidx = np.unique(key, return_index=True)
+    g2 = np.zeros((cap, 3), np.int32)
+    b2 = np.full(cap, -1, np.int32)
+    g2[: len(uidx)] = grid[:n_valid][uidx]
+    b2[: len(uidx)] = 0
+    b2[len(uidx):] = -1
+    mask = b2 >= 0
+    kb = np.where(mask, b2, int(ser.BATCH_SENTINEL)).astype(np.int32)
+    nbr5 = build_subm_neighbor_map(jnp.asarray(g2), jnp.asarray(kb), jnp.asarray(mask), 8, 5)
+    nbr3 = build_subm_neighbor_map(jnp.asarray(g2), jnp.asarray(kb), jnp.asarray(mask), 8, 3)
+    cols = k3_columns_of_k5()
+    np.testing.assert_array_equal(np.asarray(nbr5)[:, cols], np.asarray(nbr3))
