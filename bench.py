@@ -7,12 +7,19 @@ Metric: full-resolution val scenes/sec/chip on the flagship PTv3 backbone
 4 serialization orders, patch 1024 — the `configs/scannet/semseg-pt-v3m1-0-base`
 geometry).
 
+Pipeline measured end-to-end the way production inference runs: host workers
+compute each scene's geometry (native/geometry.cpp — curve orders, neighbor
+maps, patch partitions, pooling clusters) and stream batches to the device
+while it executes the previous scene; the device does pure gather/GEMM work.
+Steady-state scenes/sec is reported (host work and H2D overlap with compute).
+
 Baseline: the reference repo publishes no latency numbers (SURVEY.md §6); the
 A100 anchor is PTv3's published ~44 ms/scene ScanNet inference latency
 (≈22.7 scenes/sec). BASELINE.json targets >=2x A100/chip, so
 vs_baseline = scenes_per_sec / (2 * 22.7)  (1.0 = target met).
 """
 
+import concurrent.futures as cf
 import json
 import os
 import sys
@@ -21,23 +28,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_SCENES_PER_SEC = 22.7
-TARGET_MULTIPLier = 2.0
+TARGET_MULTIPLIER = 2.0
 
 
-def main():
-    import jax
-
-    from pointcept_tpu.utils.jax_cache import enable_persistent_cache
-
-    enable_persistent_cache()
-    import jax.numpy as jnp
-
-    from __graft_entry__ import _synthetic_arrays
-    from pointcept_tpu.engines.train import make_point_batch
-    from pointcept_tpu.models import build_model
-
-    on_tpu = jax.devices()[0].platform == "tpu"
-    # full-size PTv3 on TPU; shrunk geometry on CPU (so the script runs anywhere)
+def ptv3_base_cfg(on_tpu: bool):
+    """Flagship benchmark model: PTv3-base (TPU) or a shrunk smoke model (CPU)."""
     if on_tpu:
         capacity, num_scenes, patch = 102400, 1, 1024
         backbone = dict(
@@ -78,7 +73,6 @@ def main():
             serialize_depth=10,
             pool_capacity_factors=(0.5, 0.5),
         )
-
     cfg = dict(
         type="DefaultSegmentorV2",
         num_classes=20,
@@ -86,12 +80,51 @@ def main():
         backbone=backbone,
         criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
     )
-    model = build_model(cfg)
+    return cfg, capacity, num_scenes
 
-    batch = _synthetic_arrays(capacity=capacity, num_scenes=num_scenes, num_classes=20, grid_size=0.02)
+
+def synthetic_batch(capacity: int, num_scenes: int, seed: int = 0):
+    """One collated batch of ScanNet-like synthetic scenes (numpy arrays)."""
+    from __graft_entry__ import _synthetic_arrays
+
+    batch = _synthetic_arrays(
+        capacity=capacity, num_scenes=num_scenes, seed=seed, num_classes=20, grid_size=0.02
+    )
     batch.pop("num_scenes")
-    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
-    pb = make_point_batch(arrays, num_scenes)
+    return batch
+
+
+def main():
+    import jax
+
+    from pointcept_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax.numpy as jnp
+
+    from pointcept_tpu.engines.train import make_point_batch
+    from pointcept_tpu.models import build_model
+    from pointcept_tpu.ops import host_geometry as hg
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dev = jax.devices()[0]
+    cfg, capacity, num_scenes = ptv3_base_cfg(on_tpu)
+    model = build_model(cfg)
+    plan = hg.ptv3_plan(cfg["backbone"], capacity, num_scenes)
+
+    # distinct scenes, pre-generated (stand-in for the preprocessed dataset on
+    # disk); geometry + H2D are part of the measured per-scene pipeline
+    n_distinct = 4 if on_tpu else 2
+    scene_arrays = [synthetic_batch(capacity, num_scenes, seed=s) for s in range(n_distinct)]
+
+    def prepare(seed: int):
+        """Host side of one scene: geometry precompute + stream to the chip."""
+        arrays = scene_arrays[seed % n_distinct]
+        geo = hg.geometry_arrays(plan, arrays, shuffle_seed=0)
+        return jax.device_put({**arrays, **geo}, dev)
+
+    example = prepare(0)
+    pb = make_point_batch({k: jnp.asarray(v) for k, v in example.items()}, num_scenes)
     variables = model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
 
     @jax.jit
@@ -102,15 +135,22 @@ def main():
 
     params, bs = variables["params"], variables.get("batch_stats", {})
     # warmup / compile
-    logits = infer(params, bs, arrays)
-    jax.block_until_ready(logits)
+    jax.block_until_ready(infer(params, bs, example))
 
-    iters = 20 if on_tpu else 3
-    start = time.perf_counter()
-    for _ in range(iters):
-        logits = infer(params, bs, arrays)
-    jax.block_until_ready(logits)
-    elapsed = time.perf_counter() - start
+    iters = 30 if on_tpu else 3
+    workers = min(4, os.cpu_count() or 4)
+    # steady-state pipeline: workers prepare scene t+k while the device runs scene t
+    with cf.ThreadPoolExecutor(workers) as pool:
+        pending = [pool.submit(prepare, i) for i in range(min(workers, iters))]
+        logits = None
+        start = time.perf_counter()
+        for i in range(iters):
+            batch = pending[i % len(pending)].result()
+            if i + len(pending) < iters:
+                pending[i % len(pending)] = pool.submit(prepare, i + len(pending))
+            logits = infer(params, bs, batch)
+        jax.block_until_ready(logits)
+        elapsed = time.perf_counter() - start
 
     scenes_per_sec = iters * num_scenes / elapsed
     print(
@@ -119,7 +159,7 @@ def main():
                 "metric": "scannet_val_scenes_per_sec_per_chip" if on_tpu else "cpu_smoke_scenes_per_sec",
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/sec",
-                "vs_baseline": round(scenes_per_sec / (TARGET_MULTIPLier * A100_SCENES_PER_SEC), 4),
+                "vs_baseline": round(scenes_per_sec / (TARGET_MULTIPLIER * A100_SCENES_PER_SEC), 4),
             }
         )
     )

@@ -54,12 +54,40 @@ class TesterBase:
     def test_capacity(self) -> int:
         return int(self.cfg.get("point_capacity_test", self.cfg.get("point_capacity", 131072)))
 
+    @property
+    def geometry_plan(self):
+        """Host-geometry plan for PT-v3 backbones (see Trainer.geometry_plan)."""
+        if not hasattr(self, "_geometry_plan"):
+            self._geometry_plan = None
+            bb = dict(self.cfg.model).get("backbone")
+            if self.cfg.get("host_geometry", True) and bb and str(dict(bb).get("type", "")).startswith("PT-v3"):
+                try:
+                    from pointcept_tpu.ops import host_geometry as hg
+
+                    self._geometry_plan = dict(
+                        hg.ptv3_plan(dict(bb), self.test_capacity, num_scenes=1), shuffle=False
+                    )
+                    hg._load()
+                except Exception as e:  # pragma: no cover
+                    self.logger.warning(f"host geometry disabled: {e}")
+        return self._geometry_plan
+
+    def fragment_batch(self, fragment) -> dict:
+        """Pad one ragged fragment to the static test capacity (+ geometry)."""
+        batch = pad_to_point_batch(collate_fn([fragment]), self.test_capacity, num_scenes=1)
+        plan = self.geometry_plan
+        if plan is not None and "coord" in batch:
+            from pointcept_tpu.ops import host_geometry as hg
+
+            batch.update(hg.geometry_arrays(plan, batch, shuffle_seed=0))
+        return batch
+
     def init_state(self):
         # init params from an example fragment, then load weights
         self.logger.info("=> Initializing model state ...")
         sample = self.test_dataset[0]
         frag = sample["fragment_list"][0] if "fragment_list" in sample else sample
-        batch = pad_to_point_batch(collate_fn([frag]), self.test_capacity, num_scenes=1)
+        batch = self.fragment_batch(frag)
         pb = make_point_batch(
             {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}, 1
         )
@@ -157,7 +185,7 @@ class SemSegTester(TesterBase):
                         raise ValueError(
                             f"fragment has {n_frag} points > point_capacity_test {self.test_capacity}"
                         )
-                    batch = pad_to_point_batch(collate_fn([fragment]), self.test_capacity, num_scenes=1)
+                    batch = self.fragment_batch(fragment)
                     arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
                     probs = np.asarray(self.infer(self.state, arrays))[:n_frag]
                     np.add.at(pred, index, probs)
@@ -366,7 +394,7 @@ class ClsTester(TesterBase):
         for pos, idx in enumerate(indices):
             data = self.test_dataset[idx]
             category = int(np.asarray(data["category"]).reshape(-1)[0])
-            batch = pad_to_point_batch(collate_fn([data]), self.test_capacity, num_scenes=1)
+            batch = self.fragment_batch(data)
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
             logits = np.asarray(infer_cls(self.state, arrays, jnp.asarray([category])))
             pred = int(logits[0].argmax())
@@ -444,7 +472,7 @@ class InsSegTester(TesterBase):
                 gt_segment = fragment.get("segment")
                 gt_instance = fragment.get("instance", np.full_like(gt_segment, -1))
             n_frag = fragment["coord"].shape[0]
-            batch = pad_to_point_batch(collate_fn([dict(fragment)]), self.test_capacity, num_scenes=1)
+            batch = self.fragment_batch(dict(fragment))
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
             seg_prob, bias = self.infer(self.state, arrays)
             seg_prob = np.asarray(seg_prob)[:n_frag]
@@ -545,7 +573,7 @@ class ClsVotingTester(TesterBase):
             for _ in range(self.num_repeat):
                 data = self.test_dataset[idx]  # re-runs random TTA transforms
                 category = int(np.asarray(data["category"]).reshape(-1)[0])
-                batch = pad_to_point_batch(collate_fn([data]), self.test_capacity, num_scenes=1)
+                batch = self.fragment_batch(data)
                 arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
                 record += np.asarray(infer_cls(self.state, arrays, jnp.asarray([category])))[0]
             pred = int(record.argmax())
@@ -587,7 +615,7 @@ class ShapeNetPartSegTester(TesterBase):
             cat = int(np.asarray(data["category"]).reshape(-1)[0])
             parts = cat2part[categories[cat]]
             n = data["coord"].shape[0]
-            batch = pad_to_point_batch(collate_fn([dict(data)]), self.test_capacity, num_scenes=1)
+            batch = self.fragment_batch(dict(data))
             arrays = {k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "category")}
             probs = np.asarray(self.infer(self.state, arrays))[:n]
             masked = np.full_like(probs, -1e9)
@@ -648,7 +676,7 @@ class PartNetEPartSegTester(TesterBase):
                 frag.pop("cls_token", None)
                 index = frag.pop("index", np.arange(segment.size))
                 n_frag = frag["coord"].shape[0]
-                batch = pad_to_point_batch(collate_fn([frag]), self.test_capacity, num_scenes=1)
+                batch = self.fragment_batch(frag)
                 arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
                 probs = np.asarray(self.infer(self.state, arrays))[:n_frag]
                 np.add.at(pred, np.asarray(index), probs)

@@ -47,6 +47,7 @@ class TrainState:
 
 def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int, condition: Optional[str] = None) -> PointBatch:
     """Device-shard arrays (leading dim already stripped) -> PointBatch."""
+    geometry = {k[len("geo_"):]: v for k, v in arrays.items() if k.startswith("geo_")}
     return PointBatch(
         coord=arrays["coord"],
         feat=arrays.get("feat"),
@@ -58,6 +59,7 @@ def make_point_batch(arrays: Dict[str, np.ndarray], num_scenes: int, condition: 
         instance_centroid=arrays.get("instance_centroid"),
         condition=condition,
         num_scenes=num_scenes,
+        geometry=geometry or None,
     )
 
 
@@ -85,9 +87,14 @@ def make_view_inputs(arrays: Dict[str, jnp.ndarray], num_scenes: int, condition=
     return data
 
 
-def device_collate(samples, num_devices: int, capacity_per_device: int, mix_prob: float = 0.0):
+def device_collate(samples, num_devices: int, capacity_per_device: int, mix_prob: float = 0.0,
+                   geometry_plan: Optional[dict] = None):
     """Split a global batch of scenes into per-device PointBatch arrays with a
-    leading device axis: {key: [D, N_dev, ...]}."""
+    leading device axis: {key: [D, N_dev, ...]}.
+
+    With `geometry_plan` (ops/host_geometry.ptv3_plan), each shard additionally
+    carries host-precomputed ``geo_*`` index arrays so the device step skips all
+    in-graph sort/map building."""
     assert len(samples) % num_devices == 0, (
         f"global batch {len(samples)} must divide across {num_devices} devices"
     )
@@ -95,7 +102,14 @@ def device_collate(samples, num_devices: int, capacity_per_device: int, mix_prob
     shards = []
     for d in range(num_devices):
         group = samples[d * per : (d + 1) * per]
-        shards.append(point_collate_fn(group, mix_prob=mix_prob, capacity=capacity_per_device))
+        shard = point_collate_fn(group, mix_prob=mix_prob, capacity=capacity_per_device)
+        if geometry_plan is not None and "coord" in shard:
+            from pointcept_tpu.ops import host_geometry as hg
+
+            plan = dict(geometry_plan, num_scenes=per)
+            seed = int(np.random.randint(0, 2**62)) if geometry_plan.get("shuffle", True) else 0
+            shard.update(hg.geometry_arrays(plan, shard, shuffle_seed=seed))
+        shards.append(shard)
     out = {}
     for key in shards[0]:
         if key == "num_scenes":
@@ -296,6 +310,29 @@ class Trainer(TrainerBase):
     def capacity_per_device(self):
         return int(self.cfg.get("point_capacity", 131072))
 
+    def geometry_plan(self, capacity: int, train: bool = True) -> Optional[dict]:
+        """Host-geometry plan (ops/host_geometry) when the backbone supports it.
+
+        Enabled by default for PT-v3 backbones (cfg.host_geometry=False opts
+        out): the data workers precompute curve orders / neighbor maps / patch
+        partitions / pooling clusters so the device step is pure gather/GEMM."""
+        if not self.cfg.get("host_geometry", True):
+            return None
+        bb = dict(self.cfg.model).get("backbone")
+        if not bb or not str(dict(bb).get("type", "")).startswith("PT-v3"):
+            return None
+        from pointcept_tpu.ops import host_geometry as hg
+
+        try:
+            plan = hg.ptv3_plan(dict(bb), capacity, num_scenes=1)  # num_scenes set per batch
+            hg._load()  # compile/load the native library up-front
+        except Exception as e:  # pragma: no cover - fallback to in-graph geometry
+            self.logger.warning(f"host geometry disabled: {e}")
+            return None
+        if not train:
+            plan = dict(plan, shuffle=False)
+        return plan
+
     def build_train_loader(self):
         dataset = build_dataset(dict(self.cfg.data.train))
         collate = partial(
@@ -303,6 +340,7 @@ class Trainer(TrainerBase):
             num_devices=self.num_devices,
             capacity_per_device=self.capacity_per_device,
             mix_prob=self.cfg.get("mix_prob", 0.0),
+            geometry_plan=self.geometry_plan(self.capacity_per_device, train=True),
         )
         return DataLoader(
             dataset,
@@ -318,11 +356,13 @@ class Trainer(TrainerBase):
         if not self.cfg.get("evaluate", True) or "val" not in self.cfg.data:
             return None
         dataset = build_dataset(dict(self.cfg.data.val))
+        val_capacity = int(self.cfg.get("point_capacity_val", self.capacity_per_device))
         collate = partial(
             device_collate,
             num_devices=self.num_devices,
-            capacity_per_device=int(self.cfg.get("point_capacity_val", self.capacity_per_device)),
+            capacity_per_device=val_capacity,
             mix_prob=0.0,
+            geometry_plan=self.geometry_plan(val_capacity, train=False),
         )
         bs = self.cfg.get("batch_size_val") or self.num_devices
         return DataLoader(
@@ -550,6 +590,7 @@ class MultiDatasetTrainer(Trainer):
             num_devices=self.num_devices,
             capacity_per_device=self.capacity_per_device,
             mix_prob=self.cfg.get("mix_prob", 0.0),
+            geometry_plan=self.geometry_plan(self.capacity_per_device, train=True),
         )
         return MultiDatasetDataloader(
             dataset,
@@ -580,6 +621,7 @@ class PartialSampledTrainer(Trainer):
             num_devices=self.num_devices,
             capacity_per_device=self.capacity_per_device,
             mix_prob=self.cfg.get("mix_prob", 0.0),
+            geometry_plan=self.geometry_plan(self.capacity_per_device, train=True),
         )
         return DataLoader(
             dataset,

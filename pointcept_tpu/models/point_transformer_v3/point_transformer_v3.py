@@ -287,7 +287,9 @@ class SerializedPooling(nn.Module):
     pd: PDCfg = None
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool, shuffle_key=None):
+    def __call__(self, pb: PointBatch, train: bool, shuffle_key=None, pre=None):
+        if pre is not None:
+            return self._precomputed(pb, train, pre)
         bits = 3 * (self.stride.bit_length() - 1)
         pdepth = self.stride.bit_length() - 1
         m = self.out_capacity
@@ -360,6 +362,41 @@ class SerializedPooling(nn.Module):
         if self.shuffle_orders and shuffle_key is not None:
             out = out.shuffle_orders_(shuffle_key)
         return out, cluster_of_point
+
+    def _precomputed(self, pb: PointBatch, train: bool, pre: dict):
+        """Host-geometry path: cluster ids / pooled attributes precomputed by
+        ops/host_geometry.py; the device does only proj + segment reduce + norm.
+        Parameter names/shapes are identical to the in-graph path, so
+        checkpoints are interchangeable."""
+        pdepth = self.stride.bit_length() - 1
+        m = self.out_capacity
+        cluster = pre["cluster"]
+        assert cluster.shape[0] == pb.capacity
+        assert pre["batch"].shape[0] == m, (pre["batch"].shape, m)
+        proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
+        feat = segment_reduce(proj, cluster, m, reduce=self.reduce)
+        coord = pre.get("coord")
+        if coord is None:
+            coord = segment_reduce(pb.coord, cluster, m, reduce="mean")
+        origin_coord = (
+            segment_reduce(pb.origin_coord, cluster, m, reduce="mean")
+            if pb.origin_coord is not None
+            else None
+        )
+        out = PointBatch(
+            coord=coord,
+            feat=feat,
+            grid_coord=pre["grid"],
+            batch=pre["batch"],
+            origin_coord=origin_coord,
+            segment=pre.get("segment"),
+            condition=pb.condition,
+            context=pb.context,
+            serialized_depth=pb.serialized_depth - pdepth,
+            num_scenes=pb.num_scenes,
+        )
+        out = out.replace(feat=nn.gelu(apply_bn("norm", self.pd, out.feat, out.mask, train, out)))
+        return out, cluster
 
 
 class SerializedUnpooling(nn.Module):
@@ -470,8 +507,11 @@ class PointTransformerV3(nn.Module):
         s_orders = len(orders)
         num_stages = len(self.enc_depths)
 
+        geo = pb.geometry  # host-precomputed geometry (None = build in-graph)
+
         def rng_or_none(name):
-            if self.shuffle_orders and self.has_rng("shuffle"):
+            # with host geometry the host's order shuffle is authoritative
+            if geo is None and self.shuffle_orders and self.has_rng("shuffle"):
                 return self.make_rng("shuffle")
             return None
 
@@ -486,18 +526,20 @@ class PointTransformerV3(nn.Module):
             )
 
         pb = pb.with_grid_coord(self.grid_size)
-        pb = pb.serialize(orders=orders, depth=self.serialize_depth, shuffle_key=rng_or_none("shuffle"))
+        if geo is None:
+            pb = pb.serialize(orders=orders, depth=self.serialize_depth, shuffle_key=rng_or_none("shuffle"))
 
         # drop-path schedule (reference: linspace over total depths)
         enc_dp = np.linspace(0, self.drop_path, sum(self.enc_depths)).tolist()
         dec_dp = np.linspace(0, self.drop_path, sum(self.dec_depths)).tolist() if not self.enc_mode else []
 
         # stage 0 stem (the k5 map is only needed by the conv stem)
-        nbr5 = (
-            build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
-            if self.embed_mode == "conv"
-            else None
-        )
+        if self.embed_mode != "conv":
+            nbr5 = None
+        elif geo is not None:
+            nbr5 = geo["nbr_stem"]
+        else:
+            nbr5 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
         pb = Embedding(
             self.enc_channels[0], pd=pd, mode=self.embed_mode, mask_token=self.mask_token,
             name="embedding",
@@ -507,6 +549,14 @@ class PointTransformerV3(nn.Module):
         stage_ctx = {}
 
         def build_ctx(pb, stage, patch_size):
+            if geo is not None:
+                return dict(
+                    nbr3=geo[f"nbr3_{stage}"],
+                    parts=[
+                        (geo[f"part_{stage}_{oi}_slot"], geo[f"part_{stage}_{oi}_inv"])
+                        for oi in range(s_orders)
+                    ],
+                )
             depth_s = self.serialize_depth - stage
             if stage == 0 and nbr5 is not None:
                 # the stage-0 k3 map is a column subset of the stem k5 map
@@ -515,6 +565,20 @@ class PointTransformerV3(nn.Module):
                 nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
             parts = [pb.patch_partition(oi, patch_size) for oi in range(s_orders)]
             return dict(nbr3=nbr3, parts=parts)
+
+        def pool_pre(stage):
+            if geo is None:
+                return None
+            d = dict(
+                cluster=geo[f"pool_{stage}_cluster"],
+                grid=geo[f"pool_{stage}_grid"],
+                batch=geo[f"pool_{stage}_batch"],
+            )
+            if f"pool_{stage}_segment" in geo:
+                d["segment"] = geo[f"pool_{stage}_segment"]
+            if f"pool_{stage}_coord" in geo:
+                d["coord"] = geo[f"pool_{stage}_coord"]
+            return d
 
         cap = pb.capacity
         for s in range(num_stages):
@@ -529,7 +593,7 @@ class PointTransformerV3(nn.Module):
                     shuffle_orders=self.shuffle_orders,
                     pd=pd,
                     name=f"enc{s}_down",
-                )(pb, train, rng_or_none("shuffle"))
+                )(pb, train, rng_or_none("shuffle"), pre=pool_pre(s))
                 skips.append((skip_pb, cluster, stage_ctx))
             stage_ctx = build_ctx(pb, s, self.enc_patch_size[s])
             for i in range(self.enc_depths[s]):

@@ -64,6 +64,9 @@ class PointBatch:
     serialized_order: Optional[jnp.ndarray] = None  # [S, N] int32
     serialized_inverse: Optional[jnp.ndarray] = None  # [S, N] int32
     serialized_depth: int = struct.field(pytree_node=False, default=0)
+    # host-precomputed geometry (ops/host_geometry.py): neighbor maps, patch
+    # partitions, pooling clusters. None = build the same structures in-graph.
+    geometry: Optional[dict] = None
     # static batch geometry
     num_scenes: int = struct.field(pytree_node=False, default=1)
 
