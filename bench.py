@@ -88,7 +88,8 @@ def synthetic_batch(capacity: int, num_scenes: int, seed: int = 0):
     from __graft_entry__ import _synthetic_arrays
 
     batch = _synthetic_arrays(
-        capacity=capacity, num_scenes=num_scenes, seed=seed, num_classes=20, grid_size=0.02
+        capacity=capacity, num_scenes=num_scenes, seed=seed, num_classes=20, grid_size=0.02,
+        oversample=4.0, extent=6.0, crop=True,
     )
     batch.pop("num_scenes")
     return batch

@@ -33,13 +33,20 @@ def synthesize_scene(seed: int, num_points: int = 120000, num_classes: int = 20,
         [np.abs(rng.normal(0, 0.02, n_wall - n_wall // 2)), rng.uniform(0, extent, n_wall - n_wall // 2), rng.uniform(0, 3, n_wall - n_wall // 2)],
         axis=1,
     )
-    # furniture blobs
+    # furniture: surface shells (boxes/ellipsoids), like real scanned objects —
+    # volumetric gaussian blobs would give unrealistically sparse voxel
+    # occupancy (real scans are 2-manifolds)
     n_blobs = rng.randint(5, 15)
     centers = rng.uniform(0.5, extent - 0.5, size=(n_blobs, 3))
     centers[:, 2] = rng.uniform(0.2, 1.5, n_blobs)
     sizes = rng.uniform(0.2, 1.0, size=(n_blobs, 3))
     blob_ids = rng.randint(0, n_blobs, n_obj)
-    objs = centers[blob_ids] + rng.normal(0, 1, (n_obj, 3)) * sizes[blob_ids] * 0.3
+    dirs = rng.normal(0, 1, (n_obj, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9
+    shell = dirs / np.maximum(np.abs(dirs), 1e-6).max(axis=1, keepdims=True)  # cube surface
+    is_box = (blob_ids % 2)[:, None]
+    surf = np.where(is_box, shell, dirs)  # half boxes, half ellipsoids
+    objs = centers[blob_ids] + surf * sizes[blob_ids] * 0.5 + rng.normal(0, 0.004, (n_obj, 3))
     coord = np.concatenate([floor, w1, w2, objs]).astype(np.float32)
 
     seg = np.concatenate(

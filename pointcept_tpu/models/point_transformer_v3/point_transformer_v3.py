@@ -36,6 +36,7 @@ from pointcept_tpu.models.utils.structure import PointBatch
 from pointcept_tpu.ops import serialization as ser
 from pointcept_tpu.ops.attention import patch_attention
 from pointcept_tpu.ops.segment_ops import segment_reduce
+from pointcept_tpu.ops.block_conv import block_subm_conv, build_block_tables, default_block_capacity
 from pointcept_tpu.ops.sparse_conv import build_subm_neighbor_map, gather_conv, k3_columns_of_k5
 
 # torch kaiming_uniform(a=sqrt(5)) equivalent for conv/linear kernels
@@ -74,20 +75,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 class SubMConv(nn.Module):
-    """Submanifold sparse conv as gather-GEMM over a prebuilt neighbor map."""
+    """Submanifold sparse conv: gather-GEMM over a neighbor map, or the
+    block-dense engine (ops/block_conv.py) when given block tables. Identical
+    params either way ("weight" [k^3, Cin, Cout]) — checkpoint-interchangeable."""
 
     out_channels: int
     num_offsets: int  # k^3
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feat: jnp.ndarray, geom) -> jnp.ndarray:
         cin = feat.shape[-1]
         w = self.param("weight", conv_kernel_init, (self.num_offsets, cin, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
-        # bf16 gather+matmul (f32 accumulate): halves the gather traffic, the
-        # dominant cost on TPU; matches the reference's AMP behavior
-        return gather_conv(feat, nbr, w, b, compute_dtype=jnp.bfloat16)
+        if isinstance(geom, dict):  # block tables
+            k = round(self.num_offsets ** (1.0 / 3.0))
+            return block_subm_conv(feat, geom, w, b, kernel_size=k)
+        # bf16 gather+matmul (f32 accumulate): halves the gather traffic;
+        # matches the reference's AMP behavior
+        return gather_conv(feat, geom, w, b, compute_dtype=jnp.bfloat16)
 
 
 class RPE(nn.Module):
@@ -287,7 +293,7 @@ class SerializedPooling(nn.Module):
     pd: PDCfg = None
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool, shuffle_key=None, pre=None):
+    def __call__(self, pb: PointBatch, train: bool, shuffle_key=None, pre=None, needed=None):
         if pre is not None:
             return self._precomputed(pb, train, pre)
         bits = 3 * (self.stride.bit_length() - 1)
@@ -333,12 +339,25 @@ class SerializedPooling(nn.Module):
         new_keys = []
         new_order = []
         new_inverse = []
+        iota_m = jnp.arange(m, dtype=jnp.int32)
         for i in range(s):
             ki = sentinel.at[head_target].set(shifted[i][order0])[:m]
-            oi = ser.argsort_keys(ki)
             new_keys.append(ki)
-            new_order.append(oi)
-            new_inverse.append(ser.invert_order(oi))
+            if i == 0:
+                # cluster ids were assigned in ascending keys[0] order and
+                # sentinel rows sort last, so keys[0] is ALREADY sorted:
+                # the argsort is the identity (exact, keys unique)
+                new_order.append(iota_m)
+                new_inverse.append(iota_m)
+            elif needed is not None and i not in needed:
+                # no attention block reads this order at the pooled stage;
+                # keys stay correct for deeper stages, permutation is identity
+                new_order.append(iota_m)
+                new_inverse.append(iota_m)
+            else:
+                oi = ser.argsort_keys(ki, pb.serialized_depth - pdepth)
+                new_order.append(oi)
+                new_inverse.append(ser.invert_order(oi))
         new_keys = jnp.stack(new_keys)
         new_order = jnp.stack(new_order)
         new_inverse = jnp.stack(new_inverse)
@@ -489,6 +508,10 @@ class PointTransformerV3(nn.Module):
     pdnorm_conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
     serialize_depth: int = 12
     pool_capacity_factors: Sequence[float] = (0.5, 0.5, 0.5, 0.5)
+    # sparse-conv engine for stem/xCPE: "block" = dense z-order blocks
+    # (ops/block_conv.py, fastest on TPU), "gather" = neighbor-map gather-GEMM
+    conv_engine: str = "gather"
+    block_capacity_factor: float = 1.0 / 16.0
     grid_size: float = 0.02  # used only when the input lacks grid_coord
     lora_rank: int = 0
     # v3m2 (sonata variant) options
@@ -525,21 +548,53 @@ class PointTransformerV3(nn.Module):
                 adaptive=self.pdnorm_adaptive,
             )
 
+        # static used-order sets per stage: without order shuffling, blocks read
+        # only order (block_index % s_orders); skip sorts/partitions for the rest
+        shuffle_active = geo is None and self.shuffle_orders and self.has_rng("shuffle")
+
+        def used_orders(stage):
+            if shuffle_active:
+                return tuple(range(s_orders))
+            used = {0}  # order 0 always drives pooling / block tables
+            used |= {i % s_orders for i in range(self.enc_depths[stage])}
+            if not self.enc_mode and stage < num_stages - 1:
+                used |= {i % s_orders for i in range(self.dec_depths[stage])}
+            return tuple(sorted(used))
+
         pb = pb.with_grid_coord(self.grid_size)
         if geo is None:
-            pb = pb.serialize(orders=orders, depth=self.serialize_depth, shuffle_key=rng_or_none("shuffle"))
+            pb = pb.serialize(
+                orders=orders,
+                depth=self.serialize_depth,
+                shuffle_key=rng_or_none("shuffle"),
+                sort_indices=None if shuffle_active else used_orders(0),
+            )
 
         # drop-path schedule (reference: linspace over total depths)
         enc_dp = np.linspace(0, self.drop_path, sum(self.enc_depths)).tolist()
         dec_dp = np.linspace(0, self.drop_path, sum(self.dec_depths)).tolist() if not self.enc_mode else []
 
-        # stage 0 stem (the k5 map is only needed by the conv stem)
-        if self.embed_mode != "conv":
-            nbr5 = None
-        elif geo is not None:
-            nbr5 = geo["nbr_stem"]
-        else:
-            nbr5 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
+        use_block = self.conv_engine == "block" and geo is None
+
+        def block_tables(pb):
+            m = default_block_capacity(pb.capacity, self.block_capacity_factor)
+            return build_block_tables(
+                pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
+                pb.serialized_depth, m,
+            )
+
+        # stage 0 stem (k5): block tables serve every kernel size at a stage;
+        # the gather engine needs the dedicated k5 map
+        nbr5 = None
+        stage0_tables = None
+        if self.embed_mode == "conv":
+            if geo is not None:
+                nbr5 = geo["nbr_stem"]
+            elif use_block:
+                stage0_tables = block_tables(pb)
+                nbr5 = stage0_tables
+            else:
+                nbr5 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
         pb = Embedding(
             self.enc_channels[0], pd=pd, mode=self.embed_mode, mask_token=self.mask_token,
             name="embedding",
@@ -552,18 +607,23 @@ class PointTransformerV3(nn.Module):
             if geo is not None:
                 return dict(
                     nbr3=geo[f"nbr3_{stage}"],
-                    parts=[
-                        (geo[f"part_{stage}_{oi}_slot"], geo[f"part_{stage}_{oi}_inv"])
+                    parts={
+                        oi: (geo[f"part_{stage}_{oi}_slot"], geo[f"part_{stage}_{oi}_inv"])
                         for oi in range(s_orders)
-                    ],
+                    },
                 )
-            depth_s = self.serialize_depth - stage
-            if stage == 0 and nbr5 is not None:
+            if use_block:
+                if stage == 0 and stage0_tables is not None:
+                    nbr3 = stage0_tables
+                else:
+                    nbr3 = block_tables(pb)
+            elif stage == 0 and nbr5 is not None and not isinstance(nbr5, dict):
                 # the stage-0 k3 map is a column subset of the stem k5 map
                 nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
             else:
+                depth_s = self.serialize_depth - stage
                 nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
-            parts = [pb.patch_partition(oi, patch_size) for oi in range(s_orders)]
+            parts = {oi: pb.patch_partition(oi, patch_size) for oi in used_orders(stage)}
             return dict(nbr3=nbr3, parts=parts)
 
         def pool_pre(stage):
@@ -593,7 +653,8 @@ class PointTransformerV3(nn.Module):
                     shuffle_orders=self.shuffle_orders,
                     pd=pd,
                     name=f"enc{s}_down",
-                )(pb, train, rng_or_none("shuffle"), pre=pool_pre(s))
+                )(pb, train, rng_or_none("shuffle"), pre=pool_pre(s),
+                  needed=None if shuffle_active else used_orders(s))
                 skips.append((skip_pb, cluster, stage_ctx))
             stage_ctx = build_ctx(pb, s, self.enc_patch_size[s])
             for i in range(self.enc_depths[s]):

@@ -114,19 +114,42 @@ class PointBatch:
         orders: Sequence[str] = ("z", "z-trans", "hilbert", "hilbert-trans"),
         depth: int = 12,
         shuffle_key: Optional[jax.Array] = None,
+        sort_indices: Optional[Sequence[int]] = None,
     ) -> "PointBatch":
         """Compute per-order curve codes, orders and inverses.
 
         Parity: reference `Point.serialization` (`structure.py:53-110`). `depth`
         is static (the reference adapts it to the data; a fixed per-dataset depth
         keeps shapes/jit static — grid coords are clipped into range).
+
+        `sort_indices` (static) restricts which orders actually get sorted —
+        orders no attention block reads keep identity permutations (keys are
+        always computed; pooled stages may still sort them later). Incompatible
+        with `shuffle_key`.
         """
         assert depth <= 16
         gc = jnp.clip(self.grid_coord, 0, (1 << depth) - 1)
         kb = self.key_batch()
         keys = ser.encode_all(gc, kb, depth, orders)  # [S, N, 3]
-        order = jnp.stack([ser.argsort_keys(keys[i]) for i in range(len(orders))])
-        inverse = jnp.stack([ser.invert_order(order[i]) for i in range(len(orders))])
+        iota = jnp.arange(self.capacity, dtype=jnp.int32)
+        if sort_indices is not None:
+            assert shuffle_key is None, "sort_indices requires unshuffled orders"
+            order = jnp.stack(
+                [
+                    ser.argsort_keys(keys[i], depth) if i in sort_indices else iota
+                    for i in range(len(orders))
+                ]
+            )
+        else:
+            order = jnp.stack([ser.argsort_keys(keys[i], depth) for i in range(len(orders))])
+        inverse = jnp.stack(
+            [
+                ser.invert_order(order[i])
+                if sort_indices is None or i in sort_indices
+                else iota
+                for i in range(len(orders))
+            ]
+        )
         if shuffle_key is not None:
             perm = jax.random.permutation(shuffle_key, len(orders))
             keys, order, inverse = keys[perm], order[perm], inverse[perm]

@@ -1,0 +1,226 @@
+"""Block-dense submanifold convolution — the TPU-native sparse-conv engine.
+
+Replaces gather-GEMM over per-point neighbor maps (ops/sparse_conv.py) for the
+PTv3 stem/xCPE convs (reference spconv SubMConv3d,
+`point_transformer_v3m1_base.py:277-287,498`). Key idea: the z-order
+serialization already groups points into 2^b-sized cubic blocks — points of one
+block are CONTIGUOUS in the sorted order. So:
+
+1. scatter point features into a dense [nB, B, B, B, C] tensor of occupied
+   blocks (one coalesced scatter — the block decomposition is just the high
+   bits of the existing curve code);
+2. build a halo'd tile per block from the 27 neighbor blocks (static slices +
+   block-granular row gathers + concats — exact, including diagonals whose
+   face neighbors are unoccupied);
+3. run ONE dense `lax.conv` over all blocks (MXU systolic work, VMEM-windowed
+   by XLA — no materialized im2col);
+4. gather outputs back at the occupied slots.
+
+Submanifold semantics fall out exactly: unoccupied voxels hold zeros so they
+contribute nothing, and only occupied slots are read back. Compute is ~B³/avg
+points-per-block times redundant (8³ indoor blocks hold ~60-100 points → ~5-8×
+extra MXU FLOPs), but it replaces the ~10× slower irregular-gather traffic
+that dominates the profile (im2col tensors of 150-350 MB per conv + layout
+copies + validity selects).
+
+Everything is static-shape: `block_capacity` bounds the number of occupied
+blocks (overflow blocks fall into a trash slot and output zeros — size it with
+margin; indoor surface scans occupy ~N/64 blocks at B=8).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcept_tpu.ops import serialization as ser
+from pointcept_tpu.ops.sparse_conv import _lex_lower_bound
+
+# neighbor offsets in C-order over (dx, dy, dz) ∈ {-1,0,1}³ (center included)
+OFFS27 = list(itertools.product((-1, 0, 1), repeat=3))
+CENTER27 = OFFS27.index((0, 0, 0))
+
+
+def build_block_tables(
+    keys0: jnp.ndarray,  # [N, 3] serialized key triples, order "z" (or any morton order)
+    order0: jnp.ndarray,  # [N] argsort of keys0
+    grid_coord: jnp.ndarray,  # [N, 3]
+    mask: jnp.ndarray,  # [N] valid points
+    depth: int,
+    block_capacity: int,
+    block_bits: int = 3,
+) -> dict:
+    """In-graph block structure from the existing serialization (cheap vector ops).
+
+    Returns dict with:
+      slot       [N] int32 — dense-tensor row of each point
+                  (block_rank * B^3 + raster offset; trash row for padding/overflow)
+      nbr        [nB, 27] int32 — neighbor block ranks in OFFS27 order,
+                  block_capacity = missing (center column = self)
+      block_grid [nB, 3] int32 — coarse grid of each block (diagnostics)
+    """
+    n = keys0.shape[0]
+    bb = block_bits
+    b3 = 1 << (3 * bb)
+    m = block_capacity
+
+    # block id per point = run index of equal (batch, code >> 3*bb) in sorted order
+    shifted = ser.key_shift_right(keys0, 3 * bb)
+    sk = shifted[order0]
+    valid_sorted = mask[order0]
+    prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
+    head = valid_sorted & ~prev_eq
+    rank_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+    rank_ok = valid_sorted & (rank_sorted < m)
+    rank_of_point = jnp.full((n,), m, jnp.int32).at[order0].set(
+        jnp.where(rank_ok, rank_sorted, m)
+    )
+
+    # block key table (ascending by construction: ranks assigned in sorted order)
+    head_target = jnp.where(head & (rank_sorted < m), rank_sorted, m)
+    sentinel = jnp.stack(
+        [
+            jnp.full((m + 1,), ser.BATCH_SENTINEL, jnp.int32),
+            jnp.zeros((m + 1,), jnp.int32),
+            jnp.zeros((m + 1,), jnp.int32),
+        ],
+        axis=-1,
+    )
+    block_keys = sentinel.at[head_target].set(sk)[:m]  # [m, 3] sorted
+    block_grid = (
+        jnp.zeros((m + 1, 3), jnp.int32).at[head_target].set(grid_coord[order0] >> bb)[:m]
+    )
+    block_batch = jnp.full((m + 1,), -1, jnp.int32).at[head_target].set(
+        jnp.where(valid_sorted, keys0[order0][:, 0], -1)
+    )[:m]
+    block_valid = block_keys[:, 0] < ser.BATCH_SENTINEL
+
+    # 26 neighbors via lex binary search over the sorted block keys
+    bdepth = depth - bb
+    lim = (1 << bdepth) - 1
+    kb, khi, klo = block_keys[:, 0], block_keys[:, 1], block_keys[:, 2]
+    cols = []
+    for off in OFFS27:
+        if off == (0, 0, 0):
+            cols.append(jnp.where(block_valid, jnp.arange(m, dtype=jnp.int32), m))
+            continue
+        qg = block_grid + jnp.asarray(off, jnp.int32)[None, :]
+        in_range = jnp.all((qg >= 0) & (qg <= lim), axis=-1) & block_valid
+        q = ser.encode(
+            jnp.clip(qg, 0, lim),
+            jnp.where(in_range, block_batch, ser.BATCH_SENTINEL + 1),
+            bdepth,
+            "z",
+        )
+        pos = _lex_lower_bound(kb, khi, klo, q[:, 0], q[:, 1], q[:, 2])
+        pos_c = jnp.minimum(pos, m - 1)
+        found = (
+            (pos < m)
+            & (kb[pos_c] == q[:, 0])
+            & (khi[pos_c] == q[:, 1])
+            & (klo[pos_c] == q[:, 2])
+        )
+        cols.append(jnp.where(found, pos_c, m).astype(jnp.int32))
+    nbr = jnp.stack(cols, axis=1)  # [m, 27]
+
+    # dense slot: raster offset within the block (conv layout, NOT morton)
+    gx, gy, gz = grid_coord[:, 0], grid_coord[:, 1], grid_coord[:, 2]
+    lmask = (1 << bb) - 1
+    local = ((gx & lmask) << (2 * bb)) | ((gy & lmask) << bb) | (gz & lmask)
+    slot = jnp.where(rank_of_point < m, rank_of_point * b3 + local, m * b3)
+    return dict(slot=slot.astype(jnp.int32), nbr=nbr, block_grid=block_grid)
+
+
+def _slab(a: int, bsz: int, halo: int):
+    """Source x-range within the neighbor block at offset a for the halo tile."""
+    if a == -1:
+        return bsz - halo, bsz
+    if a == 0:
+        return 0, bsz
+    return 0, halo
+
+
+def _halo_expand(dense: jnp.ndarray, nbr: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """[nB+1, B, B, B, C] (row nB = zero block) -> [nB, B+2h, B+2h, B+2h, C].
+
+    Exact 27-region assembly: each region is a static slice of the dense tensor
+    gathered at the corresponding neighbor rank — diagonal regions read the
+    diagonal block directly, so occupancy gaps in face neighbors don't lose
+    contributions."""
+    if halo == 0:
+        return dense[:-1]
+    bsz = dense.shape[1]
+    pieces_x = []
+    for a in (-1, 0, 1):
+        x0, x1 = _slab(a, bsz, halo)
+        pieces_y = []
+        for b in (-1, 0, 1):
+            y0, y1 = _slab(b, bsz, halo)
+            pieces_z = []
+            for c in (-1, 0, 1):
+                z0, z1 = _slab(c, bsz, halo)
+                if (a, b, c) == (0, 0, 0):
+                    # center = self: invalid blocks hold zeros anyway, skip the gather
+                    pieces_z.append(dense[:-1])
+                    continue
+                k = OFFS27.index((a, b, c))
+                sub = dense[:, x0:x1, y0:y1, z0:z1, :]  # static slice (cheap)
+                src = jnp.take(sub, nbr[:, k], axis=0)
+                pieces_z.append(src)
+            pieces_y.append(jnp.concatenate(pieces_z, axis=3))
+        pieces_x.append(jnp.concatenate(pieces_y, axis=2))
+    return jnp.concatenate(pieces_x, axis=1)
+
+
+def block_subm_conv(
+    feat: jnp.ndarray,  # [N, Cin]
+    tables: dict,
+    weight: jnp.ndarray,  # [k^3, Cin, Cout] (kernel_offsets C-order)
+    bias: Optional[jnp.ndarray] = None,
+    kernel_size: int = 3,
+    block_bits: int = 3,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Submanifold sparse conv via dense blocks; numerically equivalent to
+    ops/sparse_conv.gather_conv over the same inputs (bf16 rounding aside)."""
+    slot, nbr = tables["slot"], tables["nbr"]
+    nb = nbr.shape[0]
+    bsz = 1 << block_bits
+    b3 = bsz**3
+    halo = (kernel_size - 1) // 2
+    assert halo <= bsz, "kernel halo exceeds block size"
+    cin = feat.shape[1]
+    cout = weight.shape[-1]
+
+    dense = jnp.zeros((nb * b3 + 1, cin), compute_dtype).at[slot].set(feat.astype(compute_dtype))
+    dense = dense[: nb * b3].reshape(nb, bsz, bsz, bsz, cin)
+    dense = jnp.concatenate([dense, jnp.zeros((1, bsz, bsz, bsz, cin), compute_dtype)], axis=0)
+
+    hal = _halo_expand(dense, nbr, halo)  # [nb, B+2h, ..., cin]
+    w = weight.reshape(kernel_size, kernel_size, kernel_size, cin, cout).astype(compute_dtype)
+    # bf16 in/out: the TPU conv accumulates f32 internally; keeping operand and
+    # output dtypes equal avoids the mixed-dtype conv-VJP limitation
+    out = jax.lax.conv_general_dilated(
+        hal,
+        w,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )  # [nb, B, B, B, cout]
+    out = out.astype(feat.dtype).reshape(nb * b3, cout)
+    out = jnp.concatenate([out, jnp.zeros((1, cout), out.dtype)], axis=0)
+    res = jnp.take(out, slot, axis=0)
+    if bias is not None:
+        res = res + bias
+    return res
+
+
+def default_block_capacity(capacity: int, factor: float = 1.0 / 16.0, multiple: int = 128) -> int:
+    """Static bound on occupied 8^3 blocks. Indoor surface scans occupy ~N/64;
+    factor 1/16 gives 4x margin (overflow blocks output zeros)."""
+    m = max(int(np.ceil(capacity * factor)), multiple)
+    return ((m + multiple - 1) // multiple) * multiple

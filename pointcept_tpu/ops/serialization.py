@@ -21,7 +21,7 @@ Morton interleave, verified bit-exact against golden vectors from the reference.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -131,10 +131,16 @@ def key_shift_right(keys: jnp.ndarray, bits: int) -> jnp.ndarray:
     return jnp.stack([b, new_hi, new_lo], axis=-1)
 
 
-def argsort_keys(keys: jnp.ndarray) -> jnp.ndarray:
-    """Argsort of key triples (unstable: keys are unique per valid voxel) [N,3] -> order [N] int32."""
+def argsort_keys(keys: jnp.ndarray, depth: Optional[int] = None) -> jnp.ndarray:
+    """Argsort of key triples (unstable: keys are unique per valid voxel) [N,3] -> order [N] int32.
+
+    When the static `depth` is <= 10 the hi word is identically zero and the
+    sort drops it (25% less sort traffic)."""
     n = keys.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
+    if depth is not None and depth <= 10:
+        sorted_ops = jax.lax.sort((keys[:, 0], keys[:, 2], iota), num_keys=2, is_stable=False)
+        return sorted_ops[2]
     sorted_ops = jax.lax.sort(
         (keys[:, 0], keys[:, 1], keys[:, 2], iota), num_keys=3, is_stable=False
     )
