@@ -52,6 +52,8 @@ def ptv3_base_cfg(on_tpu: bool):
             drop_path=0.0,
             serialize_depth=10,
             pool_capacity_factors=(0.35, 0.35, 0.35, 0.35),
+            conv_engine="block",
+            block_capacity_factor=1.0 / 32.0,
         )
     else:
         capacity, num_scenes, patch = 8192, 1, 128

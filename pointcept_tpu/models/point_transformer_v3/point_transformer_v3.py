@@ -35,6 +35,7 @@ from pointcept_tpu.models.modules import DropPath, LayerNorm, MaskedBatchNorm, M
 from pointcept_tpu.models.utils.structure import PointBatch
 from pointcept_tpu.ops import serialization as ser
 from pointcept_tpu.ops.attention import patch_attention
+from pointcept_tpu.ops.permute import permute_rows
 from pointcept_tpu.ops.segment_ops import segment_reduce
 from pointcept_tpu.ops.block_conv import block_subm_conv, build_block_tables, default_block_capacity
 from pointcept_tpu.ops.sparse_conv import build_subm_neighbor_map, gather_conv, k3_columns_of_k5
@@ -304,44 +305,59 @@ class SerializedPooling(nn.Module):
 
         keys0 = pb.serialized_keys[0]
         order0 = pb.serialized_order[0]
+        inverse0 = pb.serialized_inverse[0]
         shifted = jnp.stack([ser.key_shift_right(pb.serialized_keys[i], bits) for i in range(s)])
         sk = shifted[0][order0]  # sorted (shift is monotone on sorted codes)
         valid_sorted = pb.batch[order0] >= 0
         prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
         head = valid_sorted & ~prev_eq
         cluster_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
-        # per-input-point cluster id (M = dropped/padding)
+        # per-input-point cluster id (M = dropped/padding). NO scatters here:
+        # TPU scatters serialize, so everything routes through gathers and one
+        # compaction sort.
         cl_sorted = jnp.where(valid_sorted & (cluster_sorted < m), cluster_sorted, m)
-        cluster_of_point = jnp.full((n,), m, jnp.int32).at[order0].set(cl_sorted)
+        cluster_of_point = jnp.take(cl_sorted, inverse0, axis=0)
 
         proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
-        feat = segment_reduce(proj, cluster_of_point, m, reduce=self.reduce)
-        coord = segment_reduce(pb.coord, cluster_of_point, m, reduce="mean")
+        # reduce in the sorted layout: cluster ids are non-decreasing there
+        proj_sorted = permute_rows(proj, order0, inverse0)
+        feat = segment_reduce(proj_sorted, cl_sorted, m, reduce=self.reduce, indices_are_sorted=True)
+        coord_sorted = jnp.take(pb.coord, order0, axis=0)
+        coord = segment_reduce(coord_sorted, cl_sorted, m, reduce="mean", indices_are_sorted=True)
         origin_coord = (
-            segment_reduce(pb.origin_coord, cluster_of_point, m, reduce="mean")
+            segment_reduce(
+                jnp.take(pb.origin_coord, order0, axis=0), cl_sorted, m,
+                reduce="mean", indices_are_sorted=True,
+            )
             if pb.origin_coord is not None
             else None
         )
 
-        # head-point attributes
-        head_target = jnp.where(head & (cluster_sorted < m), cluster_sorted, m)
-        grid = jnp.zeros((m + 1, 3), jnp.int32).at[head_target].set(pb.grid_coord[order0] >> pdepth)[:m]
-        batch = jnp.full((m + 1,), -1, jnp.int32).at[head_target].set(pb.batch[order0])[:m]
+        # head compaction: ONE sort gives each cluster's head position; every
+        # head attribute is then a gather
+        head_rank = jnp.where(head & (cluster_sorted < m), cluster_sorted, jnp.int32(n))
+        hr, hpos = jax.lax.sort((head_rank, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
+        if m > n:  # capacity can exceed the input point count in tiny configs
+            hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
+            hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
+        head_valid = hr[:m] < n
+        head_point = jnp.take(order0, hpos[:m], axis=0)  # point id of each cluster head
+        grid = jnp.where(head_valid[:, None], jnp.take(pb.grid_coord, head_point, axis=0) >> pdepth, 0)
+        batch = jnp.where(head_valid, jnp.take(pb.batch, head_point, axis=0), -1)
         seg = None
         if pb.segment is not None:
-            seg = jnp.full((m + 1,), -1, jnp.int32).at[head_target].set(pb.segment[order0])[:m]
+            seg = jnp.where(head_valid, jnp.take(pb.segment, head_point, axis=0), -1)
 
         # per-order pooled keys = shifted key of the cluster head point
-        sentinel = jnp.stack(
-            [jnp.full((m + 1,), ser.BATCH_SENTINEL, jnp.int32), jnp.zeros((m + 1,), jnp.int32), jnp.zeros((m + 1,), jnp.int32)],
-            axis=-1,
-        )
+        sentinel_row = jnp.asarray([ser.BATCH_SENTINEL, 0, 0], jnp.int32)
         new_keys = []
         new_order = []
         new_inverse = []
         iota_m = jnp.arange(m, dtype=jnp.int32)
         for i in range(s):
-            ki = sentinel.at[head_target].set(shifted[i][order0])[:m]
+            ki = jnp.where(
+                head_valid[:, None], jnp.take(shifted[i], head_point, axis=0), sentinel_row[None, :]
+            )
             new_keys.append(ki)
             if i == 0:
                 # cluster ids were assigned in ascending keys[0] order and
@@ -578,9 +594,13 @@ class PointTransformerV3(nn.Module):
 
         def block_tables(pb):
             m = default_block_capacity(pb.capacity, self.block_capacity_factor)
+            # order index 0 is the config's first order unless shuffling is
+            # active (then it could be any curve -> tables re-sort by z inside)
+            curve_is_z = (not shuffle_active) and orders[0] == "z"
             return build_block_tables(
                 pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
-                pb.serialized_depth, m,
+                pb.serialized_depth, m, inverse0=pb.serialized_inverse[0],
+                curve_is_z=curve_is_z,
             )
 
         # stage 0 stem (k5): block tables serve every kernel size at a stage;

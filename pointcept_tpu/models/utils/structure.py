@@ -84,11 +84,15 @@ class PointBatch:
         return jnp.sum(self.mask.astype(jnp.int32))
 
     def scene_counts(self) -> jnp.ndarray:
-        """[num_scenes] int32 valid-point count per scene."""
-        b = jnp.where(self.batch >= 0, self.batch, self.num_scenes)
-        return jax.ops.segment_sum(
-            jnp.ones_like(b), b, num_segments=self.num_scenes + 1
-        )[: self.num_scenes].astype(jnp.int32)
+        """[num_scenes] int32 valid-point count per scene.
+
+        One-hot compare + reduce: num_scenes is small and static, and this
+        avoids a TPU scatter-add (segment_sum) over the full point dim."""
+        return jnp.sum(
+            self.batch[None, :] == jnp.arange(self.num_scenes, dtype=self.batch.dtype)[:, None],
+            axis=1,
+            dtype=jnp.int32,
+        )
 
     def with_grid_coord(self, grid_size: float) -> "PointBatch":
         """Derive voxel grid coords from metric coords when absent (reference

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointcept_tpu.ops import serialization as ser
+from pointcept_tpu.ops.permute import permute_rows
 from pointcept_tpu.ops.sparse_conv import _lex_lower_bound
 
 # neighbor offsets in C-order over (dx, dy, dz) ∈ {-1,0,1}³ (center included)
@@ -53,12 +54,21 @@ def build_block_tables(
     depth: int,
     block_capacity: int,
     block_bits: int = 3,
+    inverse0: Optional[jnp.ndarray] = None,
+    curve_is_z: bool = True,
 ) -> dict:
-    """In-graph block structure from the existing serialization (cheap vector ops).
+    """In-graph block structure from the existing serialization.
+
+    Scatter-free (TPU scatters serialize): cluster ids route through gathers of
+    the inverse permutation, block attributes through ONE compaction sort, and
+    the dense fill through a sorted+unique scatter of morton-local slots.
 
     Returns dict with:
-      slot       [N] int32 — dense-tensor row of each point
-                  (block_rank * B^3 + raster offset; trash row for padding/overflow)
+      slot       [N] int32 — raster dense row of each point (for output gather)
+      fill_slot  [N] int32 — strictly-ascending morton dense row per SORTED
+                  point (padding/overflow land in a disjoint ascending trash
+                  region past nB*B^3)
+      order0     [N] int32 — sort permutation (dense fill gathers feat with it)
       nbr        [nB, 27] int32 — neighbor block ranks in OFFS27 order,
                   block_capacity = missing (center column = self)
       block_grid [nB, 3] int32 — coarse grid of each block (diagnostics)
@@ -67,6 +77,15 @@ def build_block_tables(
     bb = block_bits
     b3 = 1 << (3 * bb)
     m = block_capacity
+    if not curve_is_z:
+        # the fill layout needs plain morton locals: the within-block ordering
+        # of hilbert (or shuffled) curves is position-dependent, so re-sort by
+        # the z curve (one cheap sort; batch ids live in keys0[:, 0])
+        keys0 = ser.encode(grid_coord, keys0[:, 0], depth, "z")
+        order0 = ser.argsort_keys(keys0, depth)
+        inverse0 = ser.invert_order(order0)
+    if inverse0 is None:
+        inverse0 = ser.invert_order(order0)
 
     # block id per point = run index of equal (batch, code >> 3*bb) in sorted order
     shifted = ser.key_shift_right(keys0, 3 * bb)
@@ -76,28 +95,29 @@ def build_block_tables(
     head = valid_sorted & ~prev_eq
     rank_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
     rank_ok = valid_sorted & (rank_sorted < m)
-    rank_of_point = jnp.full((n,), m, jnp.int32).at[order0].set(
-        jnp.where(rank_ok, rank_sorted, m)
-    )
+    rank_of_point = jnp.take(jnp.where(rank_ok, rank_sorted, m), inverse0, axis=0)
 
-    # block key table (ascending by construction: ranks assigned in sorted order)
-    head_target = jnp.where(head & (rank_sorted < m), rank_sorted, m)
-    sentinel = jnp.stack(
-        [
-            jnp.full((m + 1,), ser.BATCH_SENTINEL, jnp.int32),
-            jnp.zeros((m + 1,), jnp.int32),
-            jnp.zeros((m + 1,), jnp.int32),
-        ],
-        axis=-1,
-    )
-    block_keys = sentinel.at[head_target].set(sk)[:m]  # [m, 3] sorted
-    block_grid = (
-        jnp.zeros((m + 1, 3), jnp.int32).at[head_target].set(grid_coord[order0] >> bb)[:m]
-    )
-    block_batch = jnp.full((m + 1,), -1, jnp.int32).at[head_target].set(
-        jnp.where(valid_sorted, keys0[order0][:, 0], -1)
-    )[:m]
-    block_valid = block_keys[:, 0] < ser.BATCH_SENTINEL
+    # dense fill slots in the sorted layout: (rank, morton-local) is strictly
+    # ascending over valid points; padding/overflow go to a disjoint ascending
+    # trash region -> the fill scatter is sorted AND unique
+    pos = jnp.arange(n, dtype=jnp.int32)
+    mlocal_sorted = jnp.take(keys0[:, 2], order0, axis=0) & (b3 - 1)
+    fill_slot = jnp.where(rank_ok, rank_sorted * b3 + mlocal_sorted, m * b3 + pos)
+
+    # block attribute compaction: ONE sort -> position of each block's head
+    head_rank = jnp.where(head & (rank_sorted < m), rank_sorted, jnp.int32(n))
+    hr, hpos = jax.lax.sort((head_rank, pos), num_keys=1, is_stable=False)
+    if m > n:  # block capacity can exceed the point count in tiny configs
+        hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
+        hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
+    block_valid = hr[:m] < n
+    head_point = jnp.take(order0, hpos[:m], axis=0)
+    block_grid = jnp.where(block_valid[:, None], jnp.take(grid_coord, head_point, axis=0) >> bb, 0)
+    sentinel_row = jnp.asarray([int(ser.BATCH_SENTINEL), 0, 0], jnp.int32)
+    block_keys = jnp.where(
+        block_valid[:, None], jnp.take(sk, hpos[:m], axis=0), sentinel_row[None, :]
+    )  # [m, 3] sorted ascending (ranks were assigned in sorted order)
+    block_batch = jnp.where(block_valid, block_keys[:, 0], -1)
 
     # 26 neighbors via lex binary search over the sorted block keys
     bdepth = depth - bb
@@ -132,7 +152,30 @@ def build_block_tables(
     lmask = (1 << bb) - 1
     local = ((gx & lmask) << (2 * bb)) | ((gy & lmask) << bb) | (gz & lmask)
     slot = jnp.where(rank_of_point < m, rank_of_point * b3 + local, m * b3)
-    return dict(slot=slot.astype(jnp.int32), nbr=nbr, block_grid=block_grid)
+    return dict(
+        slot=slot.astype(jnp.int32),
+        fill_slot=fill_slot.astype(jnp.int32),
+        order0=order0,
+        inverse0=inverse0,
+        nbr=nbr,
+        block_grid=block_grid,
+    )
+
+
+def _morton_to_raster_perm(block_bits: int) -> np.ndarray:
+    """Static permutation p with raster[j] = morton_layout[p[j]] for one block."""
+    bb = block_bits
+    b3 = 1 << (3 * bb)
+    p = np.empty(b3, np.int32)
+    for lx in range(1 << bb):
+        for ly in range(1 << bb):
+            for lz in range(1 << bb):
+                raster = (lx << (2 * bb)) | (ly << bb) | lz
+                morton = 0
+                for i in range(bb):
+                    morton |= (((lx >> i) & 1) << (3 * i + 2)) | (((ly >> i) & 1) << (3 * i + 1)) | (((lz >> i) & 1) << (3 * i))
+                p[raster] = morton
+    return p
 
 
 def _slab(a: int, bsz: int, halo: int):
@@ -189,6 +232,7 @@ def block_subm_conv(
     ops/sparse_conv.gather_conv over the same inputs (bf16 rounding aside)."""
     slot, nbr = tables["slot"], tables["nbr"]
     nb = nbr.shape[0]
+    n = slot.shape[0]
     bsz = 1 << block_bits
     b3 = bsz**3
     halo = (kernel_size - 1) // 2
@@ -196,8 +240,19 @@ def block_subm_conv(
     cin = feat.shape[1]
     cout = weight.shape[-1]
 
-    dense = jnp.zeros((nb * b3 + 1, cin), compute_dtype).at[slot].set(feat.astype(compute_dtype))
-    dense = dense[: nb * b3].reshape(nb, bsz, bsz, bsz, cin)
+    # dense fill: sorted+unique scatter of morton-local slots (padding/overflow
+    # go to the disjoint trash region), then the static morton->raster
+    # permutation per block — no serialized random scatter
+    if "inverse0" in tables:
+        feat_sorted = permute_rows(feat.astype(compute_dtype), tables["order0"], tables["inverse0"])
+    else:
+        feat_sorted = jnp.take(feat.astype(compute_dtype), tables["order0"], axis=0)
+    dense = jnp.zeros((nb * b3 + n, cin), compute_dtype).at[tables["fill_slot"]].set(
+        feat_sorted, unique_indices=True, indices_are_sorted=True, mode="drop"
+    )
+    dense = dense[: nb * b3].reshape(nb, b3, cin)
+    dense = jnp.take(dense, jnp.asarray(_morton_to_raster_perm(block_bits)), axis=1)
+    dense = dense.reshape(nb, bsz, bsz, bsz, cin)
     dense = jnp.concatenate([dense, jnp.zeros((1, bsz, bsz, bsz, cin), compute_dtype)], axis=0)
 
     hal = _halo_expand(dense, nbr, halo)  # [nb, B+2h, ..., cin]

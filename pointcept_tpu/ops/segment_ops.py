@@ -13,28 +13,35 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_reduce(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int, reduce: str = "sum"):
+def segment_reduce(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int, reduce: str = "sum",
+                   indices_are_sorted: bool = False):
     """Reduce rows of `data` by segment id. ids >= num_segments are dropped.
 
     reduce in {sum, mean, max, min}. Rows for empty segments are 0 (sum/mean)
     or 0 (max/min — clamped from the identity, matching segment_csr's behavior
     of never producing inf for present segments; callers mask empty segments).
+    Pass `indices_are_sorted=True` when ids are non-decreasing (run-ordered
+    layouts) — XLA lowers sorted segment reductions without serialized scatters.
     """
     # route out-of-range ids to a garbage bucket
     oob = segment_ids >= num_segments
     ids = jnp.where(oob, num_segments, segment_ids)
     n = num_segments + 1
+    srt = indices_are_sorted
     if reduce == "sum":
-        out = jax.ops.segment_sum(data, ids, num_segments=n)
+        out = jax.ops.segment_sum(data, ids, num_segments=n, indices_are_sorted=srt)
     elif reduce == "mean":
-        s = jax.ops.segment_sum(data, ids, num_segments=n)
-        c = jax.ops.segment_sum(jnp.ones((data.shape[0],) + (1,) * (data.ndim - 1), data.dtype), ids, num_segments=n)
+        s = jax.ops.segment_sum(data, ids, num_segments=n, indices_are_sorted=srt)
+        c = jax.ops.segment_sum(
+            jnp.ones((data.shape[0],) + (1,) * (data.ndim - 1), data.dtype), ids,
+            num_segments=n, indices_are_sorted=srt,
+        )
         out = s / jnp.maximum(c, 1)
     elif reduce == "max":
-        out = jax.ops.segment_max(data, ids, num_segments=n)
+        out = jax.ops.segment_max(data, ids, num_segments=n, indices_are_sorted=srt)
         out = jnp.where(jnp.isfinite(out), out, 0)
     elif reduce == "min":
-        out = jax.ops.segment_min(data, ids, num_segments=n)
+        out = jax.ops.segment_min(data, ids, num_segments=n, indices_are_sorted=srt)
         out = jnp.where(jnp.isfinite(out), out, 0)
     else:
         raise ValueError(f"unknown reduce {reduce}")

@@ -159,10 +159,13 @@ def sort_keys_with_payload(keys: jnp.ndarray, *payload: jnp.ndarray):
 
 
 def invert_order(order: jnp.ndarray) -> jnp.ndarray:
-    """inverse[order[i]] = i (reference `structure.py:93-100`)."""
+    """inverse[order[i]] = i (reference `structure.py:93-100`).
+
+    Sort-based: XLA TPU scatters serialize (~10 M rows/s) while sorts stream;
+    sorting (order, iota) by value yields the inverse permutation directly."""
     n = order.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    return jnp.zeros((n,), jnp.int32).at[order].set(iota)
+    return jax.lax.sort((order, iota), num_keys=1, is_stable=False)[1]
 
 
 def keys_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
