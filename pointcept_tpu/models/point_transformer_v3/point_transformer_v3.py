@@ -528,6 +528,9 @@ class PointTransformerV3(nn.Module):
     # (ops/block_conv.py, fastest on TPU), "gather" = neighbor-map gather-GEMM
     conv_engine: str = "gather"
     block_capacity_factor: float = 1.0 / 16.0
+    # stages smaller than this fall back to gather-GEMM maps even under
+    # conv_engine="block": dense blocks are mostly empty at coarse resolutions
+    block_engine_min_points: int = 8192
     grid_size: float = 0.02  # used only when the input lacks grid_coord
     lora_rank: int = 0
     # v3m2 (sonata variant) options
@@ -632,7 +635,7 @@ class PointTransformerV3(nn.Module):
                         for oi in range(s_orders)
                     },
                 )
-            if use_block:
+            if use_block and pb.capacity >= self.block_engine_min_points:
                 if stage == 0 and stage0_tables is not None:
                     nbr3 = stage0_tables
                 else:

@@ -61,17 +61,19 @@ def build_block_tables(
 
     Scatter-free (TPU scatters serialize): cluster ids route through gathers of
     the inverse permutation, block attributes through ONE compaction sort, and
-    the dense fill through a sorted+unique scatter of morton-local slots.
+    the dense fill through the Pallas one-hot kernel driven by per-block
+    member windows.
 
     Returns dict with:
-      slot       [N] int32 — raster dense row of each point (for output gather)
-      fill_slot  [N] int32 — strictly-ascending morton dense row per SORTED
-                  point (padding/overflow land in a disjoint ascending trash
-                  region past nB*B^3)
-      order0     [N] int32 — sort permutation (dense fill gathers feat with it)
-      nbr        [nB, 27] int32 — neighbor block ranks in OFFS27 order,
+      slot        [N] int32 — raster dense row of each point (output gather /
+                  fill VJP); m*B^3 = trash for padding/overflow
+      order0/inverse0 [N] int32 — the z-sort permutation and its inverse
+      nbr         [nB, 27] int32 — neighbor block ranks in OFFS27 order,
                   block_capacity = missing (center column = self)
-      block_grid [nB, 3] int32 — coarse grid of each block (diagnostics)
+      block_grid  [nB, 3] int32 — coarse grid of each block (diagnostics)
+      fill_start/fill_count [nB] int32 — each block's member window in the
+                  sorted order
+      rl_sorted   [N] int32 — raster-local of each sorted point (B^3 = none)
     """
     n = keys0.shape[0]
     bb = block_bits
@@ -97,12 +99,8 @@ def build_block_tables(
     rank_ok = valid_sorted & (rank_sorted < m)
     rank_of_point = jnp.take(jnp.where(rank_ok, rank_sorted, m), inverse0, axis=0)
 
-    # dense fill slots in the sorted layout: (rank, morton-local) is strictly
-    # ascending over valid points; padding/overflow go to a disjoint ascending
-    # trash region -> the fill scatter is sorted AND unique
     pos = jnp.arange(n, dtype=jnp.int32)
     mlocal_sorted = jnp.take(keys0[:, 2], order0, axis=0) & (b3 - 1)
-    fill_slot = jnp.where(rank_ok, rank_sorted * b3 + mlocal_sorted, m * b3 + pos)
 
     # block attribute compaction: ONE sort -> position of each block's head
     head_rank = jnp.where(head & (rank_sorted < m), rank_sorted, jnp.int32(n))
@@ -152,30 +150,83 @@ def build_block_tables(
     lmask = (1 << bb) - 1
     local = ((gx & lmask) << (2 * bb)) | ((gy & lmask) << bb) | (gz & lmask)
     slot = jnp.where(rank_of_point < m, rank_of_point * b3 + local, m * b3)
+
+    # fill tables (built once per stage, reused by every conv): block b's
+    # points sit CONTIGUOUSLY in the sorted order at [start_b, start_b+count_b)
+    start = jnp.where(block_valid, hpos[:m], 0)
+    nvalid_ok = jnp.sum(rank_ok.astype(jnp.int32))
+    next_valid = jnp.concatenate([block_valid[1:], jnp.array([False])])
+    next_start = jnp.concatenate([start[1:], jnp.zeros((1,), jnp.int32)])
+    ends = jnp.where(next_valid, next_start, nvalid_ok)
+    count = jnp.where(block_valid, ends - start, 0)
+    # raster-local of each sorted point (static morton->raster bit shuffle)
+    rl_lut = jnp.asarray(_raster_of_morton_lut(bb))
+    rl_sorted = jnp.where(rank_ok, jnp.take(rl_lut, mlocal_sorted, axis=0), b3)
+
     return dict(
         slot=slot.astype(jnp.int32),
-        fill_slot=fill_slot.astype(jnp.int32),
         order0=order0,
         inverse0=inverse0,
         nbr=nbr,
         block_grid=block_grid,
+        fill_start=start.astype(jnp.int32),
+        fill_count=count.astype(jnp.int32),
+        rl_sorted=rl_sorted.astype(jnp.int32),
     )
 
 
-def _morton_to_raster_perm(block_bits: int) -> np.ndarray:
-    """Static permutation p with raster[j] = morton_layout[p[j]] for one block."""
+def _raster_of_morton_lut(block_bits: int) -> np.ndarray:
+    """LUT r with raster_local = r[morton_local] for one block."""
     bb = block_bits
     b3 = 1 << (3 * bb)
-    p = np.empty(b3, np.int32)
-    for lx in range(1 << bb):
-        for ly in range(1 << bb):
-            for lz in range(1 << bb):
-                raster = (lx << (2 * bb)) | (ly << bb) | lz
-                morton = 0
-                for i in range(bb):
-                    morton |= (((lx >> i) & 1) << (3 * i + 2)) | (((ly >> i) & 1) << (3 * i + 1)) | (((lz >> i) & 1) << (3 * i))
-                p[raster] = morton
-    return p
+    r = np.empty(b3, np.int32)
+    for v in range(b3):
+        lx = ly = lz = 0
+        for i in range(bb):
+            lx |= ((v >> (3 * i + 2)) & 1) << i
+            ly |= ((v >> (3 * i + 1)) & 1) << i
+            lz |= ((v >> (3 * i)) & 1) << i
+        r[v] = (lx << (2 * bb)) | (ly << bb) | lz
+    return r
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _block_fill(feat, rl_sorted, starts, counts, slot_order, b3: int, compute_dtype):
+    """Dense raster fill [nb*b3, C] via the Pallas one-hot MXU kernel — no
+    scatters, no HBM one-hot (ops/pallas/block_fill.py).
+
+    slot_order = (slot, order0, inverse0): slot drives the gather-only VJP
+    (each valid point occupies exactly one dense slot)."""
+    from pointcept_tpu.ops.pallas.block_fill import block_fill_pallas
+
+    slot, order0, inverse0 = slot_order
+    feat_sorted = jnp.take(feat.astype(compute_dtype), order0, axis=0)
+    return block_fill_pallas(feat_sorted, rl_sorted, starts, counts, b3)
+
+
+def _block_fill_fwd(feat, rl_sorted, starts, counts, slot_order, b3, compute_dtype):
+    out = _block_fill(feat, rl_sorted, starts, counts, slot_order, b3, compute_dtype)
+    # residuals must be arrays: slot + a dtype witness (+ shape witnesses)
+    return out, (slot_order[0], jnp.zeros((0,), feat.dtype), rl_sorted, starts)
+
+
+def _block_fill_bwd(b3, compute_dtype, res, g):
+    # d/dfeat: each valid point occupies exactly one dense slot -> pure gather
+    # (g's trailing b3 rows are the halo zero block: not a real slot)
+    slot, dtype_witness, rl_sorted, starts = res
+    total = g.shape[0] - b3
+    safe = jnp.minimum(slot, total - 1)
+    gf = jnp.where((slot < total)[:, None], jnp.take(g, safe, axis=0), 0).astype(dtype_witness.dtype)
+    z1 = np.zeros(rl_sorted.shape, jax.dtypes.float0)
+    zm = np.zeros(starts.shape, jax.dtypes.float0)
+    zs = np.zeros(slot.shape, jax.dtypes.float0)
+    return (gf, z1, zm, zm, (zs, zs, zs))
+
+
+_block_fill.defvjp(_block_fill_fwd, _block_fill_bwd)
 
 
 def _slab(a: int, bsz: int, halo: int):
@@ -240,20 +291,14 @@ def block_subm_conv(
     cin = feat.shape[1]
     cout = weight.shape[-1]
 
-    # dense fill: sorted+unique scatter of morton-local slots (padding/overflow
-    # go to the disjoint trash region), then the static morton->raster
-    # permutation per block — no serialized random scatter
-    if "inverse0" in tables:
-        feat_sorted = permute_rows(feat.astype(compute_dtype), tables["order0"], tables["inverse0"])
-    else:
-        feat_sorted = jnp.take(feat.astype(compute_dtype), tables["order0"], axis=0)
-    dense = jnp.zeros((nb * b3 + n, cin), compute_dtype).at[tables["fill_slot"]].set(
-        feat_sorted, unique_indices=True, indices_are_sorted=True, mode="drop"
+    # dense fill: Pallas one-hot MXU placement; no scatters anywhere. The
+    # kernel emits the trailing all-zero block halo expansion gathers for
+    # missing neighbors
+    dense = _block_fill(
+        feat, tables["rl_sorted"], tables["fill_start"], tables["fill_count"],
+        (tables["slot"], tables["order0"], tables["inverse0"]), b3, compute_dtype,
     )
-    dense = dense[: nb * b3].reshape(nb, b3, cin)
-    dense = jnp.take(dense, jnp.asarray(_morton_to_raster_perm(block_bits)), axis=1)
-    dense = dense.reshape(nb, bsz, bsz, bsz, cin)
-    dense = jnp.concatenate([dense, jnp.zeros((1, bsz, bsz, bsz, cin), compute_dtype)], axis=0)
+    dense = dense.reshape(nb + 1, bsz, bsz, bsz, cin)
 
     hal = _halo_expand(dense, nbr, halo)  # [nb, B+2h, ..., cin]
     w = weight.reshape(kernel_size, kernel_size, kernel_size, cin, cout).astype(compute_dtype)
@@ -267,8 +312,9 @@ def block_subm_conv(
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )  # [nb, B, B, B, cout]
     out = out.astype(feat.dtype).reshape(nb * b3, cout)
-    out = jnp.concatenate([out, jnp.zeros((1, cout), out.dtype)], axis=0)
-    res = jnp.take(out, slot, axis=0)
+    # take-back with clamp + mask (appending a trash row would copy `out`)
+    safe = jnp.minimum(slot, nb * b3 - 1)
+    res = jnp.where((slot < nb * b3)[:, None], jnp.take(out, safe, axis=0), 0)
     if bias is not None:
         res = res + bias
     return res

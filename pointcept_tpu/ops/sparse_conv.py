@@ -105,18 +105,19 @@ def build_subm_neighbor_map(
     depth: int,
     kernel_size: int,
     dilation: int = 1,
-    method: str = "sortmerge",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """nbr [N, k^3] int32: per active site, the input site at each kernel offset
     (-1 = none). This is the spconv SubM 'rule map' equivalent, built once per
     resolution and reused by every conv with the same indice_key.
 
-    method="sortmerge" (default): ONE sort of table keys + all
-    offset-shifted query keys, then a cummax "latest table entry" sweep matches
-    every query with near-local gathers — ~100x faster on TPU than per-offset
-    binary search (whose random HBM gathers dominate the whole forward pass);
-    the binary search remains as method="bsearch" for cross-checking.
+    method="auto" (default) picks by size: the sort-merge join wins at large N
+    (it converts random access into streaming), but its scatter-backs serialize
+    (~10 M rows/s on TPU), so small stages use the scatter-free per-offset
+    binary search instead.
     """
+    if method == "auto":
+        method = "bsearch" if grid_coord.shape[0] <= 16384 else "sortmerge"
     if method == "bsearch":
         return _build_subm_neighbor_map_bsearch(grid_coord, key_batch, mask, depth, kernel_size, dilation)
     return _build_subm_neighbor_map_sortmerge(grid_coord, key_batch, mask, depth, kernel_size, dilation)
