@@ -159,9 +159,12 @@ def build_block_tables(
     next_start = jnp.concatenate([start[1:], jnp.zeros((1,), jnp.int32)])
     ends = jnp.where(next_valid, next_start, nvalid_ok)
     count = jnp.where(block_valid, ends - start, 0)
-    # raster-local of each sorted point (static morton->raster bit shuffle)
+    # combined slot code of each sorted point (static morton->raster shuffle):
+    # rc = rank * b3 + raster_local uniquely identifies the dense slot; -1 for
+    # padding/overflow (matches nothing in the fill kernel)
     rl_lut = jnp.asarray(_raster_of_morton_lut(bb))
-    rl_sorted = jnp.where(rank_ok, jnp.take(rl_lut, mlocal_sorted, axis=0), b3)
+    rl_sorted = jnp.take(rl_lut, mlocal_sorted, axis=0)
+    rc_sorted = jnp.where(rank_ok, rank_sorted * b3 + rl_sorted, -1)
 
     return dict(
         slot=slot.astype(jnp.int32),
@@ -170,8 +173,7 @@ def build_block_tables(
         nbr=nbr,
         block_grid=block_grid,
         fill_start=start.astype(jnp.int32),
-        fill_count=count.astype(jnp.int32),
-        rl_sorted=rl_sorted.astype(jnp.int32),
+        rc_sorted=rc_sorted.astype(jnp.int32),
     )
 
 
@@ -193,9 +195,9 @@ def _raster_of_morton_lut(block_bits: int) -> np.ndarray:
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _block_fill(feat, rl_sorted, starts, counts, slot_order, b3: int, compute_dtype):
-    """Dense raster fill [nb*b3, C] via the Pallas one-hot MXU kernel — no
+@_partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _block_fill(feat, rc_sorted, starts, slot_order, b3: int, compute_dtype):
+    """Dense raster fill [(nb+1)*b3, C] via the Pallas one-hot MXU kernel — no
     scatters, no HBM one-hot (ops/pallas/block_fill.py).
 
     slot_order = (slot, order0, inverse0): slot drives the gather-only VJP
@@ -204,26 +206,26 @@ def _block_fill(feat, rl_sorted, starts, counts, slot_order, b3: int, compute_dt
 
     slot, order0, inverse0 = slot_order
     feat_sorted = jnp.take(feat.astype(compute_dtype), order0, axis=0)
-    return block_fill_pallas(feat_sorted, rl_sorted, starts, counts, b3)
+    return block_fill_pallas(feat_sorted, rc_sorted, starts, b3)
 
 
-def _block_fill_fwd(feat, rl_sorted, starts, counts, slot_order, b3, compute_dtype):
-    out = _block_fill(feat, rl_sorted, starts, counts, slot_order, b3, compute_dtype)
+def _block_fill_fwd(feat, rc_sorted, starts, slot_order, b3, compute_dtype):
+    out = _block_fill(feat, rc_sorted, starts, slot_order, b3, compute_dtype)
     # residuals must be arrays: slot + a dtype witness (+ shape witnesses)
-    return out, (slot_order[0], jnp.zeros((0,), feat.dtype), rl_sorted, starts)
+    return out, (slot_order[0], jnp.zeros((0,), feat.dtype), rc_sorted, starts)
 
 
 def _block_fill_bwd(b3, compute_dtype, res, g):
     # d/dfeat: each valid point occupies exactly one dense slot -> pure gather
     # (g's trailing b3 rows are the halo zero block: not a real slot)
-    slot, dtype_witness, rl_sorted, starts = res
+    slot, dtype_witness, rc_sorted, starts = res
     total = g.shape[0] - b3
     safe = jnp.minimum(slot, total - 1)
     gf = jnp.where((slot < total)[:, None], jnp.take(g, safe, axis=0), 0).astype(dtype_witness.dtype)
-    z1 = np.zeros(rl_sorted.shape, jax.dtypes.float0)
+    z1 = np.zeros(rc_sorted.shape, jax.dtypes.float0)
     zm = np.zeros(starts.shape, jax.dtypes.float0)
     zs = np.zeros(slot.shape, jax.dtypes.float0)
-    return (gf, z1, zm, zm, (zs, zs, zs))
+    return (gf, z1, zm, (zs, zs, zs))
 
 
 _block_fill.defvjp(_block_fill_fwd, _block_fill_bwd)
@@ -295,7 +297,7 @@ def block_subm_conv(
     # kernel emits the trailing all-zero block halo expansion gathers for
     # missing neighbors
     dense = _block_fill(
-        feat, tables["rl_sorted"], tables["fill_start"], tables["fill_count"],
+        feat, tables["rc_sorted"], tables["fill_start"],
         (tables["slot"], tables["order0"], tables["inverse0"]), b3, compute_dtype,
     )
     dense = dense.reshape(nb + 1, bsz, bsz, bsz, cin)

@@ -7,14 +7,18 @@ only serialized scatters (~10 M rows/s) or an HBM-materialized one-hot matmul
 (1.7 GB of one-hot per fill at 102k points); here the one-hot lives in VMEM per
 block and placement runs on the MXU:
 
-  per grid cell b:
-    DMA  feat_sorted[start_b : start_b + b3]  -> VMEM   (contiguous rows)
-    DMA  rl_sorted [start_b : start_b + b3]   -> VMEM   (raster locals)
-    oh[s, k] = (rl[k] == s) & (k < count_b)             (VPU, 512x512 in VMEM)
-    out[b]   = oh @ members                             (MXU)
+  per grid cell b (double-buffered window DMAs across cells):
+    DMA  feat_sorted[align128(start_b) : +b3+128]  -> VMEM
+    DMA  rc_sorted  [same window]                  -> VMEM
+         (rc = block_rank * b3 + raster_local identifies each point's dense
+          slot; one compare handles block membership, window offset and
+          padding simultaneously)
+    oh[s, k] = (rc[k] == b * b3 + s)               (VPU, in VMEM)
+    out[b]   = oh @ members                        (MXU)
 
-The VJP is a pure gather (each point occupies exactly one dense slot) — see
-ops/block_conv.py `_block_fill`.
+The final grid cell emits the all-zero block that halo expansion gathers for
+missing neighbors. The VJP is a pure gather (each point occupies exactly one
+dense slot) — see ops/block_conv.py `_block_fill`.
 """
 
 from __future__ import annotations
@@ -26,68 +30,95 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+ALIGN = 128  # window alignment satisfying both sublane (8) and lane (128) tiling
+
 
 def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _fill_kernel(starts_ref, counts_ref, feat_hbm, rl_hbm, out_ref, mem, rlv, sem1, sem2, *, b3, m):
+def _fill_kernel(starts_ref, feat_hbm, rc_hbm, out_ref, mem, rcv, sems, *, b3, w):
     b = pl.program_id(0)
-    # the final grid cell is the all-zero block that halo expansion gathers for
-    # missing neighbors (emitting it here avoids a full-tensor concat copy)
-    start = starts_ref[jnp.minimum(b, m - 1)]
-    count = jnp.where(b < m, counts_ref[jnp.minimum(b, m - 1)], 0)
-    cp1 = pltpu.make_async_copy(feat_hbm.at[pl.ds(start, b3)], mem, sem1)
-    cp2 = pltpu.make_async_copy(rl_hbm.at[:, pl.ds(start, b3)], rlv, sem2)
-    cp1.start()
-    cp2.start()
-    cp1.wait()
-    cp2.wait()
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (b3, b3), 0)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (b3, b3), 1)
-    rl = rlv[0]  # [b3] int32
-    oh = (s_iota == rl[None, :]) & (k_iota < count)
+    ncells = pl.num_programs(0)
+
+    def dmas(cell, slot):
+        start = pl.multiple_of(starts_ref[cell], ALIGN)
+        return (
+            pltpu.make_async_copy(feat_hbm.at[pl.ds(start, w)], mem.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(rc_hbm.at[:, pl.ds(start, w)], rcv.at[slot], sems.at[slot, 1]),
+        )
+
+    @pl.when(b == 0)
+    def _():
+        d1, d2 = dmas(0, 0)
+        d1.start()
+        d2.start()
+
+    @pl.when(b + 1 < ncells)
+    def _():
+        d1, d2 = dmas(b + 1, (b + 1) % 2)
+        d1.start()
+        d2.start()
+
+    d1, d2 = dmas(b, b % 2)
+    d1.wait()
+    d2.wait()
+
+    slot = b % 2
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (b3, w), 0)
+    rc = rcv[slot][0]  # [w] int32
+    oh = rc[None, :] == (s_iota + b * b3)
     out_ref[0] = jax.lax.dot_general(
-        oh.astype(mem.dtype), mem[:, :],
+        oh.astype(mem.dtype), mem[slot],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
 
-def block_fill_pallas(feat_sorted: jnp.ndarray, rl_sorted: jnp.ndarray, starts: jnp.ndarray,
-                      counts: jnp.ndarray, b3: int) -> jnp.ndarray:
-    """feat_sorted [N, C] (any float), rl_sorted [N] int32 (b3 = no slot),
-    starts/counts [m] int32 -> dense [(m+1) * b3, C] in feat_sorted's dtype
-    (the trailing block is all zeros, for missing-neighbor halo gathers)."""
+def block_fill_pallas(feat_sorted: jnp.ndarray, rc_sorted: jnp.ndarray, starts: jnp.ndarray,
+                      b3: int) -> jnp.ndarray:
+    """feat_sorted [N, C] (any float), rc_sorted [N] int32 (-1 = no slot;
+    rc = rank * b3 + raster_local), starts [m] int32 (member window starts)
+    -> dense [(m+1) * b3, C] in feat_sorted's dtype (trailing block zero)."""
     n, c = feat_sorted.shape
     m = starts.shape[0]
-    # pad so the fixed-size window DMA never reads out of range
-    fpad = jnp.concatenate([feat_sorted, jnp.zeros((b3, c), feat_sorted.dtype)])
-    rlpad = jnp.concatenate([rl_sorted, jnp.full((b3,), b3, jnp.int32)])[None, :]
+    w = b3 + ALIGN
+    # lane alignment: DMA slices need 128-multiple lane extents -> pad channels
+    c_eff = ((c + 127) // 128) * 128
+    if c_eff != c:
+        feat_sorted = jnp.pad(feat_sorted, ((0, 0), (0, c_eff - c)))
+    # pad rows so the fixed-size aligned window DMA never reads out of range
+    fpad = jnp.concatenate([feat_sorted, jnp.zeros((w, c_eff), feat_sorted.dtype)])
+    rcpad = jnp.concatenate([rc_sorted, jnp.full((w,), -1, jnp.int32)])[None, :]
+    # aligned per-cell window starts; the trailing zero-block cell reads the
+    # padded tail (rc = -1 there, so nothing matches)
+    starts_al = (starts // ALIGN) * ALIGN
+    starts_al = jnp.concatenate([starts_al, jnp.full((1,), n, jnp.int32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(m + 1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # keep the big padded arrays in HBM; the kernel DMAs its window
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, b3, c), lambda b, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, b3, c_eff), lambda b, *_: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((b3, c), feat_sorted.dtype),
-            pltpu.VMEM((1, b3), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, w, c_eff), feat_sorted.dtype),
+            pltpu.VMEM((2, 1, w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fill_kernel, b3=b3, m=m),
+        functools.partial(_fill_kernel, b3=b3, w=w),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m + 1, b3, c), feat_sorted.dtype),
+        out_shape=jax.ShapeDtypeStruct((m + 1, b3, c_eff), feat_sorted.dtype),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * b3 * b3 * c,
-            bytes_accessed=2 * m * b3 * c * feat_sorted.dtype.itemsize,
+            flops=2 * m * b3 * w * c_eff,
+            bytes_accessed=2 * m * b3 * c_eff * feat_sorted.dtype.itemsize,
             transcendentals=0,
         ),
-    )(starts, counts, fpad, rlpad)
-    return out.reshape((m + 1) * b3, c)
+    )(starts_al, fpad, rcpad)
+    out = out.reshape((m + 1) * b3, c_eff)
+    return out[:, :c] if c_eff != c else out
