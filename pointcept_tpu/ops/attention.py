@@ -44,29 +44,31 @@ def patch_attention(
     if scale is None:
         scale = d**-0.5
 
+    if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128:
+        # K-major fused path: one bf16 gather, zero transposes — the packed
+        # [P, 3C] layout reshapes freely to [nP, K, 3, H, D] and back
+        from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention_kmajor
+
+        qkv_p = jnp.take(qkv.astype(compute_dtype), slot_to_point, axis=0)  # [P, 3C]
+        out5 = flash_patch_attention_kmajor(qkv_p.reshape(np_, k, 3, h, d), scale=scale)
+        out = out5.reshape(p, c)
+        return jnp.take(out, point_to_slot, axis=0).astype(qkv.dtype)
+
+    # dense XLA path (RPE bias / small patches / non-TPU)
     qkv_p = jnp.take(qkv, slot_to_point, axis=0)  # [P, 3C]
     qkv_p = qkv_p.reshape(np_, k, 3, h, d)
-    q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)  # [nP, H, K, D]
-    kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
-
-    if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128:
-        from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention
-
-        out = flash_patch_attention(q, kk, v, scale=scale)  # [nP, H, K, D]
-    else:
-        q = q.astype(compute_dtype)
-        kk = kk.astype(compute_dtype)
-        v = v.astype(compute_dtype)
-        # full f32 when requested (TPU default matmul precision is bf16-ish)
-        prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-        attn = jnp.einsum(
-            "phkd,phmd->phkm", q * scale, kk, preferred_element_type=jnp.float32, precision=prec
-        )
-        if bias is not None:
-            attn = attn + bias
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(compute_dtype)
-        out = jnp.einsum("phkm,phmd->phkd", attn, v, preferred_element_type=jnp.float32, precision=prec)
+    q = qkv_p[:, :, 0].transpose(0, 2, 1, 3).astype(compute_dtype)  # [nP, H, K, D]
+    kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3).astype(compute_dtype)
+    v = qkv_p[:, :, 2].transpose(0, 2, 1, 3).astype(compute_dtype)
+    # full f32 when requested (TPU default matmul precision is bf16-ish)
+    prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    attn = jnp.einsum(
+        "phkd,phmd->phkm", q * scale, kk, preferred_element_type=jnp.float32, precision=prec
+    )
+    if bias is not None:
+        attn = attn + bias
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(compute_dtype)
+    out = jnp.einsum("phkm,phmd->phkd", attn, v, preferred_element_type=jnp.float32, precision=prec)
 
     out = out.transpose(0, 2, 1, 3).reshape(p, c)  # [P, C]
     return jnp.take(out, point_to_slot, axis=0).astype(qkv.dtype)  # [N, C]

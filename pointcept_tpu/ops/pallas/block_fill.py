@@ -68,11 +68,14 @@ def _fill_kernel(starts_ref, feat_hbm, rc_hbm, out_ref, mem, rcv, sems, *, b3, w
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (b3, w), 0)
     rc = rcv[slot][0]  # [w] int32
     oh = rc[None, :] == (s_iota + b * b3)
-    out_ref[0] = jax.lax.dot_general(
+    res = jax.lax.dot_general(
         oh.astype(mem.dtype), mem[slot],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    )
+    # slice the lane padding away in VMEM (an XLA-side slice would copy the
+    # whole dense tensor)
+    out_ref[0] = res[:, : out_ref.shape[-1]].astype(out_ref.dtype)
 
 
 def block_fill_pallas(feat_sorted: jnp.ndarray, rc_sorted: jnp.ndarray, starts: jnp.ndarray,
@@ -102,7 +105,7 @@ def block_fill_pallas(feat_sorted: jnp.ndarray, rc_sorted: jnp.ndarray, starts: 
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, b3, c_eff), lambda b, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, b3, c), lambda b, *_: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, w, c_eff), feat_sorted.dtype),
             pltpu.VMEM((2, 1, w), jnp.int32),
@@ -112,7 +115,7 @@ def block_fill_pallas(feat_sorted: jnp.ndarray, rc_sorted: jnp.ndarray, starts: 
     out = pl.pallas_call(
         functools.partial(_fill_kernel, b3=b3, w=w),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m + 1, b3, c_eff), feat_sorted.dtype),
+        out_shape=jax.ShapeDtypeStruct((m + 1, b3, c), feat_sorted.dtype),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * b3 * w * c_eff,
@@ -120,5 +123,4 @@ def block_fill_pallas(feat_sorted: jnp.ndarray, rc_sorted: jnp.ndarray, starts: 
             transcendentals=0,
         ),
     )(starts_al, fpad, rcpad)
-    out = out.reshape((m + 1) * b3, c_eff)
-    return out[:, :c] if c_eff != c else out
+    return out.reshape((m + 1) * b3, c)

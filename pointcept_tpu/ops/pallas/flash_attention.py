@@ -125,6 +125,125 @@ def _flash_flat_bwd(scale, res, do):
 _flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
 
 
+def _fwd_kernel_kmajor(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0, :, 0, 0]  # [K, D]
+    k = k_ref[0, :, 0, 0]
+    v = v_ref[0, :, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, :, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_kmajor(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0, :, 0, 0]
+    k = k_ref[0, :, 0, 0]
+    v = v_ref[0, :, 0, 0]
+    do = do_ref[0, :, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row) * scale
+    dq = jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0, :, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, :, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, :, 0] = dv.astype(dv_ref.dtype)
+
+
+def _kmajor_specs(kk, h, d):
+    def qkv_spec(which):
+        return pl.BlockSpec((1, kk, 1, 1, d), lambda p, hh: (p, 0, which, hh, 0), memory_space=pltpu.VMEM)
+
+    o_spec = pl.BlockSpec((1, kk, 1, d), lambda p, hh: (p, 0, hh, 0), memory_space=pltpu.VMEM)
+    return qkv_spec, o_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _flash_kmajor(qkv5, scale):
+    return _run_fwd_kmajor(qkv5, scale)
+
+
+def _run_fwd_kmajor(qkv5, scale):
+    np_, kk, _, h, d = qkv5.shape
+    qkv_spec, o_spec = _kmajor_specs(kk, h, d)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_kmajor, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
+        grid=(np_, h),
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2)],
+        out_specs=o_spec,
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * np_ * h * kk * kk * d,
+            bytes_accessed=4 * np_ * h * kk * d * 2,
+            transcendentals=np_ * h * kk * kk,
+        ),
+    )(qkv5, qkv5, qkv5)
+
+
+def _flash_kmajor_fwd(qkv5, scale):
+    return _run_fwd_kmajor(qkv5, scale), (qkv5,)
+
+
+def _flash_kmajor_bwd(scale, res, do):
+    (qkv5,) = res
+    np_, kk, _, h, d = qkv5.shape
+    qkv_spec, o_spec = _kmajor_specs(kk, h, d)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_kmajor, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
+            jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
+            jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
+        ),
+        grid=(np_, h),
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), o_spec],
+        out_specs=(o_spec, o_spec, o_spec),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * np_ * h * kk * kk * d,
+            bytes_accessed=7 * np_ * h * kk * d * 2,
+            transcendentals=np_ * h * kk * kk,
+        ),
+    )(qkv5, qkv5, qkv5, do)
+    return (jnp.stack([dq, dk, dv], axis=2),)
+
+
+_flash_kmajor.defvjp(_flash_kmajor_fwd, _flash_kmajor_bwd)
+
+
+def flash_patch_attention_kmajor(qkv5: jnp.ndarray, scale: Optional[float] = None):
+    """qkv5: [nP, K, 3, H, D] (K-major packed layout — a free reshape of the
+    slot-gathered [P, 3C]). Returns [nP, K, H, D] (reshapes freely to [P, C]).
+
+    Avoids all [nP,H,K,D] transposes of the split layout; each (patch, head)
+    grid cell reads its strided [K, D] slices directly.
+    """
+    np_, kk, three, h, d = qkv5.shape
+    assert three == 3
+    if scale is None:
+        scale = d**-0.5
+    dtype = jnp.bfloat16 if qkv5.dtype in (jnp.float32, jnp.bfloat16) else qkv5.dtype
+    return _flash_kmajor(qkv5.astype(dtype), float(scale))
+
+
 def flash_patch_attention(q, k, v, scale: Optional[float] = None):
     """q,k,v: [nP, H, K, D] (any float dtype). Returns [nP, H, K, D].
 
