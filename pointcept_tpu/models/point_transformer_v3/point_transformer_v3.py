@@ -139,11 +139,12 @@ class SerializedAttention(nn.Module):
     rescale_coords: Optional[float] = None
 
     @nn.compact
-    def __call__(self, feat, grid_coord, partition, train: bool, coord=None) -> jnp.ndarray:
+    def __call__(self, feat, grid_coord, partition, train: bool, coord=None, valid_n=None) -> jnp.ndarray:
         c = self.channels
         h = self.num_heads
         scale = self.qk_scale or (c // h) ** -0.5
-        slot_to_point, point_to_slot = partition
+        slot_to_point, point_to_slot, *rest = partition
+        identity_layout = bool(rest[0]) if rest else False
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=conv_kernel_init, name="qkv")(feat)
         if self.lora_rank > 0:
             a = self.param("lora_a", nn.initializers.normal(0.02), (c, self.lora_rank))
@@ -193,6 +194,8 @@ class SerializedAttention(nn.Module):
             patch_size=self.patch_size,
             scale=scale,
             bias=bias,
+            identity_layout=identity_layout,
+            valid_n=valid_n,
         )
         out = nn.Dense(c, kernel_init=conv_kernel_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
@@ -256,7 +259,8 @@ class Block(nn.Module):
             jitter_coords=self.jitter_coords,
             rescale_coords=self.rescale_coords,
             name="attn",
-        )(x, pb.grid_coord, partition, train, coord=pb.coord)
+        )(x, pb.grid_coord, partition, train, coord=pb.coord,
+          valid_n=pb.num_points if pb.num_scenes == 1 else None)
         x = DropPath(self.drop_path, name="drop_path1")(ls("ls1_gamma", x), train)
         feat = shortcut + x
         if not self.pre_norm:
@@ -294,7 +298,8 @@ class SerializedPooling(nn.Module):
     pd: PDCfg = None
 
     @nn.compact
-    def __call__(self, pb: PointBatch, train: bool, shuffle_key=None, pre=None, needed=None):
+    def __call__(self, pb: PointBatch, train: bool, shuffle_key=None, pre=None, needed=None,
+                 identity_order0: bool = False):
         if pre is not None:
             return self._precomputed(pb, train, pre)
         bits = 3 * (self.stride.bit_length() - 1)
@@ -307,8 +312,13 @@ class SerializedPooling(nn.Module):
         order0 = pb.serialized_order[0]
         inverse0 = pb.serialized_inverse[0]
         shifted = jnp.stack([ser.key_shift_right(pb.serialized_keys[i], bits) for i in range(s)])
-        sk = shifted[0][order0]  # sorted (shift is monotone on sorted codes)
-        valid_sorted = pb.batch[order0] >= 0
+        if identity_order0:
+            # sorted-persistent layout: the batch IS in order-0 order
+            sk = shifted[0]
+            valid_sorted = pb.batch >= 0
+        else:
+            sk = shifted[0][order0]  # sorted (shift is monotone on sorted codes)
+            valid_sorted = pb.batch[order0] >= 0
         prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
         head = valid_sorted & ~prev_eq
         cluster_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
@@ -316,20 +326,23 @@ class SerializedPooling(nn.Module):
         # TPU scatters serialize, so everything routes through gathers and one
         # compaction sort.
         cl_sorted = jnp.where(valid_sorted & (cluster_sorted < m), cluster_sorted, m)
-        cluster_of_point = jnp.take(cl_sorted, inverse0, axis=0)
+        cluster_of_point = (
+            cl_sorted if identity_order0 else jnp.take(cl_sorted, inverse0, axis=0)
+        )
 
         proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
         # reduce in the sorted layout: cluster ids are non-decreasing there
-        proj_sorted = permute_rows(proj, order0, inverse0)
+        proj_sorted = proj if identity_order0 else permute_rows(proj, order0, inverse0)
         feat = segment_reduce(proj_sorted, cl_sorted, m, reduce=self.reduce, indices_are_sorted=True)
-        coord_sorted = jnp.take(pb.coord, order0, axis=0)
+        coord_sorted = pb.coord if identity_order0 else jnp.take(pb.coord, order0, axis=0)
         coord = segment_reduce(coord_sorted, cl_sorted, m, reduce="mean", indices_are_sorted=True)
+        origin_sorted = (
+            None if pb.origin_coord is None
+            else (pb.origin_coord if identity_order0 else jnp.take(pb.origin_coord, order0, axis=0))
+        )
         origin_coord = (
-            segment_reduce(
-                jnp.take(pb.origin_coord, order0, axis=0), cl_sorted, m,
-                reduce="mean", indices_are_sorted=True,
-            )
-            if pb.origin_coord is not None
+            segment_reduce(origin_sorted, cl_sorted, m, reduce="mean", indices_are_sorted=True)
+            if origin_sorted is not None
             else None
         )
 
@@ -341,7 +354,8 @@ class SerializedPooling(nn.Module):
             hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
             hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
         head_valid = hr[:m] < n
-        head_point = jnp.take(order0, hpos[:m], axis=0)  # point id of each cluster head
+        # point id of each cluster head
+        head_point = hpos[:m] if identity_order0 else jnp.take(order0, hpos[:m], axis=0)
         grid = jnp.where(head_valid[:, None], jnp.take(pb.grid_coord, head_point, axis=0) >> pdepth, 0)
         batch = jnp.where(head_valid, jnp.take(pb.batch, head_point, axis=0), -1)
         seg = None
@@ -528,6 +542,9 @@ class PointTransformerV3(nn.Module):
     # (ops/block_conv.py, fastest on TPU), "gather" = neighbor-map gather-GEMM
     conv_engine: str = "gather"
     block_capacity_factor: float = 1.0 / 16.0
+    # physically pin the batch to z-order after serialization: order 0 becomes
+    # the identity so fills/attention/pooling need no per-point gathers
+    sorted_layout: bool = True
     # stages smaller than this fall back to gather-GEMM maps even under
     # conv_engine="block": dense blocks are mostly empty at coarse resolutions
     block_engine_min_points: int = 8192
@@ -581,6 +598,10 @@ class PointTransformerV3(nn.Module):
             return tuple(sorted(used))
 
         pb = pb.with_grid_coord(self.grid_size)
+        sorted_ok = (
+            self.sorted_layout and geo is None and not self.enc_mode and not shuffle_active
+        )
+        unsort = None
         if geo is None:
             pb = pb.serialize(
                 orders=orders,
@@ -588,6 +609,16 @@ class PointTransformerV3(nn.Module):
                 shuffle_key=rng_or_none("shuffle"),
                 sort_indices=None if shuffle_active else used_orders(0),
             )
+        if sorted_ok:
+            perm0, inv0 = pb.serialized_order[0], pb.serialized_inverse[0]
+            pb = pb.reorder(perm0, inv0, rebase_orders=used_orders(0))
+            unsort = (inv0, perm0)
+        # order 0 is the identity permutation at a stage when the layout is the
+        # pooled construction order (always at pooled stages without shuffling,
+        # at stage 0 after the reorder)
+        def ident0(stage):
+            return geo is None and not shuffle_active and (stage > 0 or sorted_ok)
+        valid_n = pb.num_points if pb.num_scenes == 1 else None
 
         # drop-path schedule (reference: linspace over total depths)
         enc_dp = np.linspace(0, self.drop_path, sum(self.enc_depths)).tolist()
@@ -595,7 +626,7 @@ class PointTransformerV3(nn.Module):
 
         use_block = self.conv_engine == "block" and geo is None
 
-        def block_tables(pb):
+        def block_tables(pb, stage):
             m = default_block_capacity(pb.capacity, self.block_capacity_factor)
             # order index 0 is the config's first order unless shuffling is
             # active (then it could be any curve -> tables re-sort by z inside)
@@ -604,6 +635,7 @@ class PointTransformerV3(nn.Module):
                 pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
                 pb.serialized_depth, m, inverse0=pb.serialized_inverse[0],
                 curve_is_z=curve_is_z,
+                identity_order0=curve_is_z and ident0(stage),
             )
 
         # stage 0 stem (k5): block tables serve every kernel size at a stage;
@@ -614,7 +646,7 @@ class PointTransformerV3(nn.Module):
             if geo is not None:
                 nbr5 = geo["nbr_stem"]
             elif use_block:
-                stage0_tables = block_tables(pb)
+                stage0_tables = block_tables(pb, 0)
                 nbr5 = stage0_tables
             else:
                 nbr5 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
@@ -631,7 +663,7 @@ class PointTransformerV3(nn.Module):
                 return dict(
                     nbr3=geo[f"nbr3_{stage}"],
                     parts={
-                        oi: (geo[f"part_{stage}_{oi}_slot"], geo[f"part_{stage}_{oi}_inv"])
+                        oi: (geo[f"part_{stage}_{oi}_slot"], geo[f"part_{stage}_{oi}_inv"], False)
                         for oi in range(s_orders)
                     },
                 )
@@ -639,14 +671,17 @@ class PointTransformerV3(nn.Module):
                 if stage == 0 and stage0_tables is not None:
                     nbr3 = stage0_tables
                 else:
-                    nbr3 = block_tables(pb)
+                    nbr3 = block_tables(pb, stage)
             elif stage == 0 and nbr5 is not None and not isinstance(nbr5, dict):
                 # the stage-0 k3 map is a column subset of the stem k5 map
                 nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
             else:
                 depth_s = self.serialize_depth - stage
                 nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
-            parts = {oi: pb.patch_partition(oi, patch_size) for oi in used_orders(stage)}
+            parts = {
+                oi: pb.patch_partition(oi, patch_size) + (oi == 0 and ident0(stage) and pb.num_scenes == 1,)
+                for oi in used_orders(stage)
+            }
             return dict(nbr3=nbr3, parts=parts)
 
         def pool_pre(stage):
@@ -677,7 +712,8 @@ class PointTransformerV3(nn.Module):
                     pd=pd,
                     name=f"enc{s}_down",
                 )(pb, train, rng_or_none("shuffle"), pre=pool_pre(s),
-                  needed=None if shuffle_active else used_orders(s))
+                  needed=None if shuffle_active else used_orders(s),
+                  identity_order0=ident0(s - 1))
                 skips.append((skip_pb, cluster, stage_ctx))
             stage_ctx = build_ctx(pb, s, self.enc_patch_size[s])
             for i in range(self.enc_depths[s]):
@@ -735,6 +771,13 @@ class PointTransformerV3(nn.Module):
                         rescale_coords=self.rescale_coords,
                         name=f"dec{s}_block{i}",
                     )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
+            if unsort is not None:
+                # restore the caller's point order; serialization state no
+                # longer describes the layout
+                pb = pb.reorder(unsort[0], unsort[1], rebase_orders=(), rebase_keys=False)
+                pb = pb.replace(
+                    serialized_keys=None, serialized_order=None, serialized_inverse=None
+                )
             return pb
         # enc_mode: expose the skip chain for SSL up_cast (reference enc_mode
         # leaves pooling_parent/pooling_inverse attached)

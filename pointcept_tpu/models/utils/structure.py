@@ -164,6 +164,58 @@ class PointBatch:
             serialized_depth=depth,
         )
 
+    def reorder(self, perm: jnp.ndarray, inv: jnp.ndarray, rebase_orders=None,
+                rebase_keys: bool = True) -> "PointBatch":
+        """Physically permute all per-point arrays (new[i] = old[perm[i]]).
+
+        Used to pin the batch to z-order after serialization ("sorted-persistent
+        layout"): order 0 becomes the identity, so dense fills read contiguous
+        windows and patch attention needs no slot gathers. The serialized
+        orders/inverses are rebased (order'_i = inv[order_i],
+        inverse'_i = inverse_i[perm]) — only for the static `rebase_orders`
+        index set (order 0 is the identity by construction; unlisted orders get
+        identity placeholders and must not be read until re-sorted)."""
+        def take(a):
+            return None if a is None else jnp.take(a, perm, axis=0)
+
+        new_order = None
+        new_inverse = None
+        new_keys = None
+        if self.serialized_order is not None:
+            s = self.serialized_order.shape[0]
+            iota = jnp.arange(self.capacity, dtype=jnp.int32)
+            rebase = rebase_orders if rebase_orders is not None else range(s)
+            new_order = jnp.stack(
+                [
+                    jnp.take(inv, self.serialized_order[i], axis=0) if i in rebase and i != 0 else iota
+                    for i in range(s)
+                ]
+            )
+            new_inverse = jnp.stack(
+                [
+                    jnp.take(self.serialized_inverse[i], perm, axis=0) if i in rebase and i != 0 else iota
+                    for i in range(s)
+                ]
+            )
+            if rebase_keys:
+                new_keys = jnp.stack(
+                    [jnp.take(self.serialized_keys[i], perm, axis=0) for i in range(s)]
+                )
+        return self.replace(
+            coord=take(self.coord),
+            feat=take(self.feat),
+            grid_coord=take(self.grid_coord),
+            batch=take(self.batch),
+            origin_coord=take(self.origin_coord),
+            segment=take(self.segment),
+            instance=take(self.instance),
+            instance_centroid=take(self.instance_centroid),
+            context=self.context,
+            serialized_keys=new_keys,
+            serialized_order=new_order,
+            serialized_inverse=new_inverse,
+        )
+
     def shuffle_orders_(self, key: jax.Array) -> "PointBatch":
         perm = jax.random.permutation(key, self.serialized_order.shape[0])
         return self.replace(

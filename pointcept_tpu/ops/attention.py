@@ -31,8 +31,17 @@ def patch_attention(
     bias: Optional[jnp.ndarray] = None,  # [num_patches, H, K, K]
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = True,
+    identity_layout: bool = False,
+    valid_n: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Returns [N, C] attention output per point."""
+    """Returns [N, C] attention output per point.
+
+    `identity_layout=True` (sorted-persistent layout, single scene, order 0):
+    the patch slots are point indices themselves with the reference's
+    tail-duplication rule — the padded stream is built with a static roll +
+    select instead of per-slot gathers, and the output is a plain slice.
+    `valid_n` is the dynamic valid-point count (scenes smaller than one patch
+    fall back to the gather path via lax.cond)."""
     n, c3 = qkv.shape
     c = c3 // 3
     h = num_heads
@@ -43,6 +52,35 @@ def patch_attention(
     np_ = p // k
     if scale is None:
         scale = d**-0.5
+
+    if (
+        identity_layout
+        and valid_n is not None
+        and use_pallas
+        and bias is None
+        and _pallas_available()
+        and k >= 128
+        and d <= 128
+    ):
+        from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention_kmajor
+
+        qb = qkv.astype(compute_dtype)
+
+        def fast(_):
+            a = jnp.concatenate([qb, jnp.zeros((p - n, c3), qb.dtype)])
+            rolled = jnp.concatenate([jnp.zeros((k, c3), qb.dtype), a[:-k]])
+            t = jnp.arange(p, dtype=jnp.int32)
+            qkv_p = jnp.where((t < valid_n)[:, None], a, rolled)
+            out5 = flash_patch_attention_kmajor(qkv_p.reshape(np_, k, 3, h, d), scale=scale)
+            return out5.reshape(p, c)[:n]
+
+        def slow(_):
+            qkv_p = jnp.take(qb, slot_to_point, axis=0)
+            out5 = flash_patch_attention_kmajor(qkv_p.reshape(np_, k, 3, h, d), scale=scale)
+            return jnp.take(out5.reshape(p, c), point_to_slot, axis=0)
+
+        out = jax.lax.cond(valid_n >= k, fast, slow, None)
+        return out.astype(qkv.dtype)
 
     if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128:
         # K-major fused path: one bf16 gather, zero transposes — the packed

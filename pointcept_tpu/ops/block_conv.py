@@ -56,6 +56,7 @@ def build_block_tables(
     block_bits: int = 3,
     inverse0: Optional[jnp.ndarray] = None,
     curve_is_z: bool = True,
+    identity_order0: bool = False,
 ) -> dict:
     """In-graph block structure from the existing serialization.
 
@@ -86,21 +87,33 @@ def build_block_tables(
         keys0 = ser.encode(grid_coord, keys0[:, 0], depth, "z")
         order0 = ser.argsort_keys(keys0, depth)
         inverse0 = ser.invert_order(order0)
+        identity_order0 = False
     if inverse0 is None:
         inverse0 = ser.invert_order(order0)
 
     # block id per point = run index of equal (batch, code >> 3*bb) in sorted order
     shifted = ser.key_shift_right(keys0, 3 * bb)
-    sk = shifted[order0]
-    valid_sorted = mask[order0]
+    if identity_order0:
+        # sorted-persistent layout: the batch IS in order-0 order
+        sk = shifted
+        valid_sorted = mask
+    else:
+        sk = shifted[order0]
+        valid_sorted = mask[order0]
     prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
     head = valid_sorted & ~prev_eq
     rank_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
     rank_ok = valid_sorted & (rank_sorted < m)
-    rank_of_point = jnp.take(jnp.where(rank_ok, rank_sorted, m), inverse0, axis=0)
+    if identity_order0:
+        rank_of_point = jnp.where(rank_ok, rank_sorted, m)
+    else:
+        rank_of_point = jnp.take(jnp.where(rank_ok, rank_sorted, m), inverse0, axis=0)
 
     pos = jnp.arange(n, dtype=jnp.int32)
-    mlocal_sorted = jnp.take(keys0[:, 2], order0, axis=0) & (b3 - 1)
+    if identity_order0:
+        mlocal_sorted = keys0[:, 2] & (b3 - 1)
+    else:
+        mlocal_sorted = jnp.take(keys0[:, 2], order0, axis=0) & (b3 - 1)
 
     # block attribute compaction: ONE sort -> position of each block's head
     head_rank = jnp.where(head & (rank_sorted < m), rank_sorted, jnp.int32(n))
@@ -109,7 +122,7 @@ def build_block_tables(
         hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
         hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
     block_valid = hr[:m] < n
-    head_point = jnp.take(order0, hpos[:m], axis=0)
+    head_point = hpos[:m] if identity_order0 else jnp.take(order0, hpos[:m], axis=0)
     block_grid = jnp.where(block_valid[:, None], jnp.take(grid_coord, head_point, axis=0) >> bb, 0)
     sentinel_row = jnp.asarray([int(ser.BATCH_SENTINEL), 0, 0], jnp.int32)
     block_keys = jnp.where(
@@ -170,6 +183,7 @@ def build_block_tables(
         slot=slot.astype(jnp.int32),
         order0=order0,
         inverse0=inverse0,
+        identity_order0=identity_order0,
         nbr=nbr,
         block_grid=block_grid,
         fill_start=start.astype(jnp.int32),
@@ -195,8 +209,8 @@ def _raster_of_morton_lut(block_bits: int) -> np.ndarray:
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _block_fill(feat, rc_sorted, starts, slot_order, b3: int, compute_dtype):
+@_partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _block_fill(feat, rc_sorted, starts, slot_order, b3: int, compute_dtype, identity: bool = False):
     """Dense raster fill [(nb+1)*b3, C] via the Pallas one-hot MXU kernel — no
     scatters, no HBM one-hot (ops/pallas/block_fill.py).
 
@@ -205,17 +219,20 @@ def _block_fill(feat, rc_sorted, starts, slot_order, b3: int, compute_dtype):
     from pointcept_tpu.ops.pallas.block_fill import block_fill_pallas
 
     slot, order0, inverse0 = slot_order
-    feat_sorted = jnp.take(feat.astype(compute_dtype), order0, axis=0)
+    if identity:  # sorted-persistent layout: feat already in z order
+        feat_sorted = feat.astype(compute_dtype)
+    else:
+        feat_sorted = jnp.take(feat.astype(compute_dtype), order0, axis=0)
     return block_fill_pallas(feat_sorted, rc_sorted, starts, b3)
 
 
-def _block_fill_fwd(feat, rc_sorted, starts, slot_order, b3, compute_dtype):
-    out = _block_fill(feat, rc_sorted, starts, slot_order, b3, compute_dtype)
+def _block_fill_fwd(feat, rc_sorted, starts, slot_order, b3, compute_dtype, identity=False):
+    out = _block_fill(feat, rc_sorted, starts, slot_order, b3, compute_dtype, identity)
     # residuals must be arrays: slot + a dtype witness (+ shape witnesses)
     return out, (slot_order[0], jnp.zeros((0,), feat.dtype), rc_sorted, starts)
 
 
-def _block_fill_bwd(b3, compute_dtype, res, g):
+def _block_fill_bwd(b3, compute_dtype, identity, res, g):
     # d/dfeat: each valid point occupies exactly one dense slot -> pure gather
     # (g's trailing b3 rows are the halo zero block: not a real slot)
     slot, dtype_witness, rc_sorted, starts = res
@@ -299,6 +316,7 @@ def block_subm_conv(
     dense = _block_fill(
         feat, tables["rc_sorted"], tables["fill_start"],
         (tables["slot"], tables["order0"], tables["inverse0"]), b3, compute_dtype,
+        tables.get("identity_order0", False),
     )
     dense = dense.reshape(nb + 1, bsz, bsz, bsz, cin)
 

@@ -125,105 +125,101 @@ def _flash_flat_bwd(scale, res, do):
 _flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
 
 
-def _fwd_kernel_kmajor(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0, :, 0, 0]  # [K, D]
-    k = k_ref[0, :, 0, 0]
-    v = v_ref[0, :, 0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, :, 0] = o.astype(o_ref.dtype)
+def _fwd_kernel_kmajor(qkv_ref, o_ref, *, scale, h, d):
+    c = h * d
+    for hh in range(h):
+        q = qkv_ref[0][:, hh * d : (hh + 1) * d]
+        k = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d]
+        v = qkv_ref[0][:, 2 * c + hh * d : 2 * c + (hh + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, hh * d : (hh + 1) * d] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel_kmajor(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[0, :, 0, 0]
-    k = k_ref[0, :, 0, 0]
-    v = v_ref[0, :, 0, 0]
-    do = do_ref[0, :, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - row) * scale
-    dq = jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[0, :, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, :, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, :, 0] = dv.astype(dv_ref.dtype)
+def _bwd_kernel_kmajor(qkv_ref, do_ref, dqkv_ref, *, scale, h, d):
+    c = h * d
+    for hh in range(h):
+        q = qkv_ref[0][:, hh * d : (hh + 1) * d]
+        k = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d]
+        v = qkv_ref[0][:, 2 * c + hh * d : 2 * c + (hh + 1) * d]
+        do = do_ref[0][:, hh * d : (hh + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / denom
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - row) * scale
+        dq = jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[0, :, hh * d : (hh + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + hh * d : c + (hh + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + hh * d : 2 * c + (hh + 1) * d] = dv.astype(dqkv_ref.dtype)
 
 
-def _kmajor_specs(kk, h, d):
-    def qkv_spec(which):
-        return pl.BlockSpec((1, kk, 1, 1, d), lambda p, hh: (p, 0, which, hh, 0), memory_space=pltpu.VMEM)
-
-    o_spec = pl.BlockSpec((1, kk, 1, d), lambda p, hh: (p, 0, hh, 0), memory_space=pltpu.VMEM)
-    return qkv_spec, o_spec
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _flash_kmajor(qkv3, scale, h, d):
+    return _run_fwd_kmajor(qkv3, scale, h, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _flash_kmajor(qkv5, scale):
-    return _run_fwd_kmajor(qkv5, scale)
-
-
-def _run_fwd_kmajor(qkv5, scale):
-    np_, kk, _, h, d = qkv5.shape
-    qkv_spec, o_spec = _kmajor_specs(kk, h, d)
+def _run_fwd_kmajor(qkv3, scale, h, d):
+    np_, kk, c3 = qkv3.shape
+    c = c3 // 3
+    spec_in = pl.BlockSpec((1, kk, c3), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, kk, c), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_kmajor, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
-        grid=(np_, h),
-        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2)],
-        out_specs=o_spec,
+        functools.partial(_fwd_kernel_kmajor, scale=scale, h=h, d=d),
+        out_shape=jax.ShapeDtypeStruct((np_, kk, c), qkv3.dtype),
+        grid=(np_,),
+        in_specs=[spec_in],
+        out_specs=spec_out,
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=4 * np_ * h * kk * kk * d,
-            bytes_accessed=4 * np_ * h * kk * d * 2,
+            bytes_accessed=4 * np_ * kk * c * 2,
             transcendentals=np_ * h * kk * kk,
         ),
-    )(qkv5, qkv5, qkv5)
+    )(qkv3)
 
 
-def _flash_kmajor_fwd(qkv5, scale):
-    return _run_fwd_kmajor(qkv5, scale), (qkv5,)
+def _flash_kmajor_fwd(qkv3, scale, h, d):
+    return _run_fwd_kmajor(qkv3, scale, h, d), (qkv3,)
 
 
-def _flash_kmajor_bwd(scale, res, do):
-    (qkv5,) = res
-    np_, kk, _, h, d = qkv5.shape
-    qkv_spec, o_spec = _kmajor_specs(kk, h, d)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_kmajor, scale=scale),
-        out_shape=(
-            jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
-            jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
-            jax.ShapeDtypeStruct((np_, kk, h, d), qkv5.dtype),
-        ),
-        grid=(np_, h),
-        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), o_spec],
-        out_specs=(o_spec, o_spec, o_spec),
+def _flash_kmajor_bwd(scale, h, d, res, do):
+    (qkv3,) = res
+    np_, kk, c3 = qkv3.shape
+    c = c3 // 3
+    spec_in = pl.BlockSpec((1, kk, c3), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+    spec_do = pl.BlockSpec((1, kk, c), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_kmajor, scale=scale, h=h, d=d),
+        out_shape=jax.ShapeDtypeStruct((np_, kk, c3), qkv3.dtype),
+        grid=(np_,),
+        in_specs=[spec_in, spec_do],
+        out_specs=spec_in,
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=11 * np_ * h * kk * kk * d,
-            bytes_accessed=7 * np_ * h * kk * d * 2,
+            bytes_accessed=7 * np_ * kk * c * 2,
             transcendentals=np_ * h * kk * kk,
         ),
-    )(qkv5, qkv5, qkv5, do)
-    return (jnp.stack([dq, dk, dv], axis=2),)
+    )(qkv3, do)
+    return (dqkv,)
 
 
 _flash_kmajor.defvjp(_flash_kmajor_fwd, _flash_kmajor_bwd)
@@ -233,15 +229,17 @@ def flash_patch_attention_kmajor(qkv5: jnp.ndarray, scale: Optional[float] = Non
     """qkv5: [nP, K, 3, H, D] (K-major packed layout — a free reshape of the
     slot-gathered [P, 3C]). Returns [nP, K, H, D] (reshapes freely to [P, C]).
 
-    Avoids all [nP,H,K,D] transposes of the split layout; each (patch, head)
-    grid cell reads its strided [K, D] slices directly.
+    Avoids all [nP,H,K,D] transposes of the split layout; one grid cell per
+    patch loops heads over lane slices of the packed [K, 3C] tile.
     """
     np_, kk, three, h, d = qkv5.shape
     assert three == 3
     if scale is None:
         scale = d**-0.5
     dtype = jnp.bfloat16 if qkv5.dtype in (jnp.float32, jnp.bfloat16) else qkv5.dtype
-    return _flash_kmajor(qkv5.astype(dtype), float(scale))
+    qkv3 = qkv5.reshape(np_, kk, 3 * h * d).astype(dtype)
+    out = _flash_kmajor(qkv3, float(scale), h, d)  # [nP, K, C]
+    return out.reshape(np_, kk, h, d)
 
 
 def flash_patch_attention(q, k, v, scale: Optional[float] = None):
