@@ -7,11 +7,13 @@ Metric: full-resolution val scenes/sec/chip on the flagship PTv3 backbone
 4 serialization orders, patch 1024 — the `configs/scannet/semseg-pt-v3m1-0-base`
 geometry).
 
-Pipeline measured end-to-end the way production inference runs: host workers
-compute each scene's geometry (native/geometry.cpp — curve orders, neighbor
-maps, patch partitions, pooling clusters) and stream batches to the device
-while it executes the previous scene; the device does pure gather/GEMM work.
-Steady-state scenes/sec is reported (host work and H2D overlap with compute).
+Measured end-to-end the way production inference runs: host workers stream
+raw scene batches to the device while it executes the previous scene; ALL
+geometry (curve-order sorts, z-order block tables for the dense-block sparse
+convs, patch layouts, pooling clusters) is built on-device inside the jitted
+forward — the bench host may have a single CPU core, so the device does the
+irregular work (see docs/PERFORMANCE.md). Steady-state scenes/sec over
+distinct scenes is reported.
 
 Baseline: the reference repo publishes no latency numbers (SURVEY.md §6); the
 A100 anchor is PTv3's published ~44 ms/scene ScanNet inference latency
@@ -107,24 +109,20 @@ def main():
 
     from pointcept_tpu.engines.train import make_point_batch
     from pointcept_tpu.models import build_model
-    from pointcept_tpu.ops import host_geometry as hg
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dev = jax.devices()[0]
     cfg, capacity, num_scenes = ptv3_base_cfg(on_tpu)
     model = build_model(cfg)
-    plan = hg.ptv3_plan(cfg["backbone"], capacity, num_scenes)
 
     # distinct scenes, pre-generated (stand-in for the preprocessed dataset on
-    # disk); geometry + H2D are part of the measured per-scene pipeline
+    # disk); H2D streaming is part of the measured per-scene pipeline
     n_distinct = 4 if on_tpu else 2
     scene_arrays = [synthetic_batch(capacity, num_scenes, seed=s) for s in range(n_distinct)]
 
     def prepare(seed: int):
-        """Host side of one scene: geometry precompute + stream to the chip."""
-        arrays = scene_arrays[seed % n_distinct]
-        geo = hg.geometry_arrays(plan, arrays, shuffle_seed=0)
-        return jax.device_put({**arrays, **geo}, dev)
+        """Host side of one scene: stream the raw batch to the chip."""
+        return jax.device_put(scene_arrays[seed % n_distinct], dev)
 
     example = prepare(0)
     pb = make_point_batch({k: jnp.asarray(v) for k, v in example.items()}, num_scenes)

@@ -53,6 +53,10 @@ def patch_attention(
     if scale is None:
         scale = d**-0.5
 
+    # the packed K-major kernel holds [K, 3C] tiles + a [K, K] score block in
+    # VMEM; beyond C=128 it overflows the 16 MB scoped limit -> wide stages use
+    # the split per-(patch, head) kernel
+    kmajor_ok = c <= 128
     if (
         identity_layout
         and valid_n is not None
@@ -61,6 +65,7 @@ def patch_attention(
         and _pallas_available()
         and k >= 128
         and d <= 128
+        and kmajor_ok
     ):
         from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention_kmajor
 
@@ -82,7 +87,7 @@ def patch_attention(
         out = jax.lax.cond(valid_n >= k, fast, slow, None)
         return out.astype(qkv.dtype)
 
-    if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128:
+    if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128 and kmajor_ok:
         # K-major fused path: one bf16 gather, zero transposes — the packed
         # [P, 3C] layout reshapes freely to [nP, K, 3, H, D] and back
         from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention_kmajor
@@ -90,6 +95,18 @@ def patch_attention(
         qkv_p = jnp.take(qkv.astype(compute_dtype), slot_to_point, axis=0)  # [P, 3C]
         out5 = flash_patch_attention_kmajor(qkv_p.reshape(np_, k, 3, h, d), scale=scale)
         out = out5.reshape(p, c)
+        return jnp.take(out, point_to_slot, axis=0).astype(qkv.dtype)
+
+    if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128:
+        # wide channels: split per-(patch, head) flash kernel
+        from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention
+
+        qkv_p = jnp.take(qkv.astype(compute_dtype), slot_to_point, axis=0).reshape(np_, k, 3, h, d)
+        q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)
+        kk_ = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
+        out = flash_patch_attention(q, kk_, v, scale=scale)  # [nP, H, K, D]
+        out = out.transpose(0, 2, 1, 3).reshape(p, c)
         return jnp.take(out, point_to_slot, axis=0).astype(qkv.dtype)
 
     # dense XLA path (RPE bias / small patches / non-TPU)
