@@ -21,6 +21,7 @@ from pointcept_tpu.models.builder import MODELS
 from pointcept_tpu.models.modules import MaskedBatchNorm, PDNorm
 from pointcept_tpu.models.utils.structure import PointBatch
 from pointcept_tpu.ops import serialization as ser
+from pointcept_tpu.ops.block_conv import block_subm_conv, build_block_tables, default_block_capacity
 from pointcept_tpu.ops.sparse_conv import (
     build_strided_maps,
     build_subm_neighbor_map,
@@ -59,6 +60,9 @@ class SpSubMConv(nn.Module):
         cin = feat.shape[-1]
         w = self.param("weight", trunc_init, (self.num_offsets, cin, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
+        if isinstance(nbr, dict):  # block-dense engine tables (ops/block_conv.py)
+            k = round(self.num_offsets ** (1.0 / 3.0))
+            return block_subm_conv(feat, nbr, w, b, kernel_size=k)
         return gather_conv(feat, nbr, w, b, compute_dtype=jnp.bfloat16)
 
 
@@ -96,6 +100,10 @@ class SpUNetBase(nn.Module):
     enc_mode: bool = False
     serialize_depth: int = 12
     pool_capacity_factor: float = 0.5
+    # sparse-conv engine for SubM k5/k3: "block" = dense z-order blocks
+    conv_engine: str = "gather"
+    block_capacity_factor: float = 1.0 / 16.0
+    block_engine_min_points: int = 8192
     grid_size: float = 0.02  # used only when the input lacks grid_coord
     pdnorm_bn: bool = False
     pdnorm_decouple: bool = True
@@ -131,7 +139,21 @@ class SpUNetBase(nn.Module):
         mask = pb.mask
         levels = [dict(grid=grid, kb=kb, mask=mask, depth=self.serialize_depth)]
 
-        nbr5 = build_subm_neighbor_map(grid, kb, mask, self.serialize_depth, 5)
+        def block_tables_for(grid_l, kb_l, mask_l, depth_l, cap_l):
+            keys0 = ser.encode(grid_l, kb_l, depth_l, "z")
+            order0 = ser.argsort_keys(keys0, depth_l)
+            return build_block_tables(
+                keys0, order0, grid_l, mask_l, depth_l,
+                default_block_capacity(cap_l, self.block_capacity_factor),
+            )
+
+        def use_block(cap_l):
+            return self.conv_engine == "block" and cap_l >= self.block_engine_min_points
+
+        if use_block(pb.capacity):
+            nbr5 = block_tables_for(grid, kb, mask, self.serialize_depth, pb.capacity)
+        else:
+            nbr5 = build_subm_neighbor_map(grid, kb, mask, self.serialize_depth, 5)
         feat = SpSubMConv(self.base_channels, 125, name="conv_input")(pb.feat, nbr5)
         feat = apply_bn("stem_norm", pd, feat, mask, train, condition, context)
         feat = nn.relu(feat)
@@ -158,7 +180,10 @@ class SpUNetBase(nn.Module):
             feat = apply_bn(f"down{s}_norm", pd, feat, out_mask, train, condition, context)
             feat = nn.relu(feat)
 
-            nbr3 = build_subm_neighbor_map(out_grid, out_kb, out_mask, lv["depth"] - 1, 3)
+            if use_block(cap):
+                nbr3 = block_tables_for(out_grid, out_kb, out_mask, lv["depth"] - 1, cap)
+            else:
+                nbr3 = build_subm_neighbor_map(out_grid, out_kb, out_mask, lv["depth"] - 1, 3)
             levels[s + 1]["nbr3"] = nbr3
             for i in range(self.layers[s]):
                 feat = BasicBlock(self.channels[s], pd=pd, name=f"enc{s}_block{i}")(
@@ -193,6 +218,8 @@ class SpUNetBase(nn.Module):
             feat = jnp.concatenate([feat, skip], axis=-1)
             if s > 0:
                 nbr3 = levels[s]["nbr3"]
+            elif isinstance(nbr5, dict):
+                nbr3 = nbr5  # block tables serve every kernel size
             else:
                 # the level-0 k3 map is a column subset of the k5 stem map
                 nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
