@@ -39,6 +39,10 @@ model = dict(
         pre_norm=True,
         enable_rpe=False,
         enable_flash=True,
+        # TPU block-dense sparse-conv engine (indoor surface scans: ~60 pts
+        # per 8^3 z-order block); coarse stages fall back to gather maps
+        conv_engine="block",
+        block_capacity_factor=1.0 / 32.0,
         upcast_attention=False,
         upcast_softmax=False,
         enc_mode=False,
