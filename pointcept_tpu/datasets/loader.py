@@ -48,6 +48,8 @@ class DataLoader:
         seed: Optional[int] = None,
         prefetch: int = 4,
         sampler=None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -58,6 +60,13 @@ class DataLoader:
         self.seed = seed if seed is not None else 0
         self.prefetch = prefetch
         self.sampler = sampler
+        # Multi-host sharding (reference DistributedSampler semantics,
+        # `engines/train.py:284-315`): each host strides the shared shuffled
+        # index list so per-host batches are disjoint. `batch_size` is the
+        # PER-HOST batch size.
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
         self._workers: List[mp.Process] = []
         self._task_q = None
@@ -68,6 +77,16 @@ class DataLoader:
         if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
 
+    def _shard(self, indices: List[int]) -> List[int]:
+        if self.process_count == 1:
+            return indices
+        # equalize per-host counts (pad by wrapping, like DistributedSampler)
+        per_host = (len(indices) + self.process_count - 1) // self.process_count
+        total = per_host * self.process_count
+        if total > len(indices):
+            indices = indices + indices[: total - len(indices)]
+        return indices[self.process_index :: self.process_count]
+
     def _index_batches(self) -> List[List[int]]:
         if self.sampler is not None:
             indices = list(iter(self.sampler))
@@ -76,6 +95,7 @@ class DataLoader:
             if self.shuffle:
                 rng = np.random.RandomState((self.seed + self.epoch) % 2**31)
                 rng.shuffle(indices)
+        indices = self._shard(indices)
         batches = [indices[i : i + self.batch_size] for i in range(0, len(indices), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
@@ -83,6 +103,7 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset) if self.sampler is None else len(self.sampler)
+        n = (n + self.process_count - 1) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -31,9 +31,7 @@ class SemSegEvaluator(HookBase):
         target_sum = np.zeros(num_classes)
         losses = []
         for i, batch in enumerate(trainer.val_loader):
-            arrays = {
-                k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "condition")
-            }
+            arrays = trainer._to_global(batch)
             res = trainer.eval_step(trainer.state, arrays, batch.get("condition"))
             inter = np.asarray(res["intersection"])
             union = np.asarray(res["union"])
@@ -97,7 +95,7 @@ class ClsEvaluator(HookBase):
         target_sum = np.zeros(num_classes)
         losses = []
         for i, batch in enumerate(trainer.val_loader):
-            arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
+            arrays = trainer._to_global(batch)
             res = trainer.cls_eval_step(trainer.state, arrays)
             inter_sum += np.asarray(res["intersection"])
             union_sum += np.asarray(res["union"])

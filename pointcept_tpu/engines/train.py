@@ -307,6 +307,30 @@ class Trainer(TrainerBase):
         return len(jax.devices())
 
     @property
+    def num_local_devices(self):
+        return jax.local_device_count()
+
+    @property
+    def process_count(self):
+        return jax.process_count()
+
+    @property
+    def process_index(self):
+        return jax.process_index()
+
+    def _to_global(self, batch: dict) -> Dict[str, jnp.ndarray]:
+        """Per-host local shard arrays [D_local, ...] -> global jax.Arrays
+        [D_global, ...] sharded over the mesh's data axis (multi-host)."""
+        items = {k: v for k, v in batch.items() if k not in ("num_scenes", "condition")}
+        if self.process_count == 1:
+            return {k: jnp.asarray(v) for k, v in items.items()}
+        sh = NamedSharding(self.mesh, P("data"))
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in items.items()
+        }
+
+    @property
     def capacity_per_device(self):
         return int(self.cfg.get("point_capacity", 131072))
 
@@ -337,19 +361,24 @@ class Trainer(TrainerBase):
         dataset = build_dataset(dict(self.cfg.data.train))
         collate = partial(
             device_collate,
-            num_devices=self.num_devices,
+            num_devices=self.num_local_devices,
             capacity_per_device=self.capacity_per_device,
             mix_prob=self.cfg.get("mix_prob", 0.0),
             geometry_plan=self.geometry_plan(self.capacity_per_device, train=True),
         )
+        assert self.cfg.batch_size % self.process_count == 0, (
+            f"batch_size {self.cfg.batch_size} must divide across {self.process_count} hosts"
+        )
         return DataLoader(
             dataset,
-            batch_size=self.cfg.batch_size,
+            batch_size=self.cfg.batch_size // self.process_count,
             shuffle=True,
             num_workers=self.cfg.get("num_worker", 0),
             collate_fn=collate,
             drop_last=True,
             seed=self.cfg.seed,
+            process_index=self.process_index,
+            process_count=self.process_count,
         )
 
     def build_val_loader(self):
@@ -359,7 +388,7 @@ class Trainer(TrainerBase):
         val_capacity = int(self.cfg.get("point_capacity_val", self.capacity_per_device))
         collate = partial(
             device_collate,
-            num_devices=self.num_devices,
+            num_devices=self.num_local_devices,
             capacity_per_device=val_capacity,
             mix_prob=0.0,
             geometry_plan=self.geometry_plan(val_capacity, train=False),
@@ -367,12 +396,14 @@ class Trainer(TrainerBase):
         bs = self.cfg.get("batch_size_val") or self.num_devices
         return DataLoader(
             dataset,
-            batch_size=bs,
+            batch_size=bs // self.process_count,
             shuffle=False,
             num_workers=self.cfg.get("num_worker", 0),
             collate_fn=collate,
             drop_last=False,
             seed=self.cfg.seed,
+            process_index=self.process_index,
+            process_count=self.process_count,
         )
 
     def build_scheduler(self):
@@ -389,7 +420,7 @@ class Trainer(TrainerBase):
     # --------------------------------------------------------------------- state
     def _example_batch(self):
         samples = [self.train_loader.dataset[i] for i in range(self.cfg.batch_size)]
-        return device_collate(samples, self.num_devices, self.capacity_per_device)
+        return device_collate(samples, self.num_local_devices, self.capacity_per_device)
 
     def init_state(self):
         batch = self._example_batch()
@@ -465,11 +496,10 @@ class Trainer(TrainerBase):
     def run_step(self):
         batch = self.comm_info["input_dict"]
         condition = batch.get("condition")
-        arrays = {
-            k: jnp.asarray(v) for k, v in batch.items() if k not in ("num_scenes", "condition")
-        }
+        local = {k: v for k, v in batch.items() if k not in ("num_scenes", "condition")}
         for name, value in self.comm_info.get("model_hyper", {}).items():
-            arrays[f"hyper_{name}"] = jnp.full((self.num_devices, 1), value, jnp.float32)
+            local[f"hyper_{name}"] = np.full((self.num_local_devices, 1), value, np.float32)
+        arrays = self._to_global(local)
         steps = self.train_step
         if condition not in steps:
             steps[condition] = self._build_train_step(condition)
@@ -587,7 +617,7 @@ class MultiDatasetTrainer(Trainer):
         dataset = build_dataset(dict(self.cfg.data.train))
         collate = partial(
             device_collate,
-            num_devices=self.num_devices,
+            num_devices=self.num_local_devices,
             capacity_per_device=self.capacity_per_device,
             mix_prob=self.cfg.get("mix_prob", 0.0),
             geometry_plan=self.geometry_plan(self.capacity_per_device, train=True),
@@ -618,7 +648,7 @@ class PartialSampledTrainer(Trainer):
         )
         collate = partial(
             device_collate,
-            num_devices=self.num_devices,
+            num_devices=self.num_local_devices,
             capacity_per_device=self.capacity_per_device,
             mix_prob=self.cfg.get("mix_prob", 0.0),
             geometry_plan=self.geometry_plan(self.capacity_per_device, train=True),

@@ -17,13 +17,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libclustering.so")
 _lib = None
 
 
@@ -31,20 +29,12 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "clustering.cpp")
-        if os.path.exists(src):
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, src],
-                    check=True,
-                    capture_output=True,
-                )
-            except Exception:
-                return None
-    if not os.path.exists(_LIB_PATH):
+    from pointcept_tpu.utils.native_build import build_native
+
+    lib_path = build_native(os.path.join(_NATIVE_DIR, "clustering.cpp"))
+    if lib_path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(lib_path)
     lib.bfs_cluster.restype = ctypes.c_int
     lib.bfs_cluster.argtypes = [
         ctypes.POINTER(ctypes.c_float),

@@ -20,13 +20,11 @@ from __future__ import annotations
 import ctypes
 import math
 import os
-import subprocess
 from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libgeometry.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "geometry.cpp")
 
 _lib = None
@@ -36,14 +34,12 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_LIB_PATH)) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH):
-        subprocess.check_call(
-            [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-                "-pthread", "-o", _LIB_PATH, _SRC_PATH,
-            ]
-        )
-    lib = ctypes.CDLL(_LIB_PATH)
+    from pointcept_tpu.utils.native_build import build_native
+
+    lib_path = build_native(_SRC_PATH)
+    if lib_path is None:
+        raise RuntimeError(f"failed to build native geometry library from {_SRC_PATH}")
+    lib = ctypes.CDLL(lib_path)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     f32p = ctypes.POINTER(ctypes.c_float)

@@ -154,6 +154,29 @@ def test_loader_multiworker_deterministic_order():
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_loader_per_host_sharding_disjoint():
+    """Multi-host striding: two mocked hosts see disjoint, covering batches
+    (reference DistributedSampler semantics, `engines/train.py:284-315`)."""
+    ds = list(range(10))
+
+    def host(pi):
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, num_workers=0,
+            collate_fn=lambda b: b, seed=7, drop_last=True,
+            process_index=pi, process_count=2,
+        )
+        loader.set_epoch(0)
+        return [tuple(b) for b in loader]
+
+    b0, b1 = host(0), host(1)
+    assert len(b0) == len(b1) == 2  # equal per-host step counts
+    seen0 = {i for b in b0 for i in b}
+    seen1 = {i for b in b1 for i in b}
+    assert seen0.isdisjoint(seen1)
+    # together the hosts cover 8 distinct samples (2 dropped by drop_last)
+    assert len(seen0 | seen1) == 8
+
+
 def test_modelnet_style_cls_collate():
     ds = build_dataset(
         dict(
