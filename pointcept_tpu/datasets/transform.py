@@ -3,8 +3,10 @@
 Parity target: reference `pointcept/datasets/transform.py` (44 registered
 transforms). These run in dataloader workers on CPU, exactly like the
 reference — augmentation is inherently per-scene ragged work; the TPU sees only
-the final padded PointBatch from the collate step. Clean-room implementations
-with matching semantics; citations give the reference class line numbers.
+the final padded PointBatch from the collate step. Implementations match the
+reference's semantics (several, e.g. GridSample's voxel bucketing and
+ElasticDistortion's blurred-lattice numerics, are behavior-exact by design);
+citations give the reference class line numbers.
 """
 
 from __future__ import annotations
@@ -572,27 +574,24 @@ class ElasticDistortion:
 
     @staticmethod
     def elastic_distortion(coords, granularity, magnitude):
-        import scipy.interpolate
-        import scipy.ndimage
+        """Gaussian-ish displacement lattice (box-blurred white noise, cell
+        size = `granularity`, one-cell apron) sampled trilinearly at each
+        point. Matches the reference's numerics (`transform.py:786-825`):
+        separable 3-tap box blur applied twice == its explicit xyz kernels."""
+        from scipy.ndimage import map_coordinates, uniform_filter
 
-        blurx = np.ones((3, 1, 1, 1)).astype("float32") / 3
-        blury = np.ones((1, 3, 1, 1)).astype("float32") / 3
-        blurz = np.ones((1, 1, 3, 1)).astype("float32") / 3
-        coords_min = coords.min(0)
-        noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
-        noise = np.random.randn(*noise_dim, 3).astype(np.float32)
+        cmin = coords.min(0)
+        dims = ((coords.max(0) - cmin) // granularity).astype(int) + 3
+        lattice = np.random.randn(*dims, 3).astype(np.float32)
         for _ in range(2):
-            noise = scipy.ndimage.convolve(noise, blurx, mode="constant", cval=0)
-            noise = scipy.ndimage.convolve(noise, blury, mode="constant", cval=0)
-            noise = scipy.ndimage.convolve(noise, blurz, mode="constant", cval=0)
-        ax = [
-            np.linspace(d_min, d_max, d)
-            for d_min, d_max, d in zip(
-                coords_min - granularity, coords_min + granularity * (noise_dim - 2), noise_dim
-            )
-        ]
-        interp = scipy.interpolate.RegularGridInterpolator(ax, noise, bounds_error=False, fill_value=0)
-        return coords + interp(coords) * magnitude
+            lattice = uniform_filter(lattice, size=(3, 3, 3, 1), mode="constant")
+        # lattice origin is one cell below the cloud minimum, so every point's
+        # fractional index lies strictly inside the lattice
+        u = ((coords - cmin) / granularity + 1.0).T.astype(np.float32)
+        disp = np.stack(
+            [map_coordinates(lattice[..., a], u, order=1) for a in range(3)], axis=1
+        )
+        return coords + disp * magnitude
 
     def __call__(self, data_dict):
         if "coord" in data_dict and self.distortion_params is not None:
@@ -632,95 +631,106 @@ class GridSample:
         self.return_displacement = return_displacement
         self.project_displacement = project_displacement
 
+    def _voxel_runs(self, coord):
+        """Voxelize: returns (grid_coord, scaled_coord, min_coord, order,
+        starts, counts, voxel_of_point).
+
+        Points of one voxel form a contiguous run of `order` at
+        [starts[v], starts[v] + counts[v]); voxel_of_point maps each original
+        point to its voxel's run id.
+        """
+        scaled = coord / self.grid_size
+        grid = np.floor(scaled).astype(np.int64)
+        gmin = grid.min(0)
+        grid = grid - gmin
+        scaled = scaled - gmin
+        key = self.hash(grid)
+        order = np.argsort(key)
+        sk = key[order]
+        head = np.empty(sk.shape[0], bool)
+        head[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=head[1:])
+        starts = np.flatnonzero(head)
+        counts = np.diff(np.append(starts, sk.shape[0]))
+        voxel_of_point = np.empty_like(order)
+        voxel_of_point[order] = np.cumsum(head) - 1
+        return grid, scaled, gmin * self.grid_size, order, starts, counts, voxel_of_point
+
+    def _attach(self, out, picked, grid_coord, scaled_coord, min_coord, voxel_of_point, normal):
+        if self.return_inverse:
+            out["inverse"] = voxel_of_point
+        if self.return_grid_coord:
+            out["grid_coord"] = grid_coord[picked]
+            if "grid_coord" not in out["index_valid_keys"]:
+                out["index_valid_keys"] = list(out["index_valid_keys"]) + ["grid_coord"]
+        if self.return_min_coord:
+            out["min_coord"] = min_coord.reshape(1, 3)
+        if self.return_displacement:
+            # offset from the voxel center, in voxel units
+            disp = scaled_coord - np.floor(scaled_coord) - 0.5
+            if self.project_displacement:
+                disp = np.sum(disp * normal, axis=-1, keepdims=True)
+            out["displacement"] = disp[picked]
+            if "displacement" not in out["index_valid_keys"]:
+                out["index_valid_keys"] = list(out["index_valid_keys"]) + ["displacement"]
+        return out
+
     def __call__(self, data_dict):
         assert "coord" in data_dict
-        scaled_coord = data_dict["coord"] / np.array(self.grid_size)
-        grid_coord = np.floor(scaled_coord).astype(int)
-        min_coord = grid_coord.min(0)
-        grid_coord -= min_coord
-        scaled_coord -= min_coord
-        min_coord = min_coord * np.array(self.grid_size)
-        key = self.hash(grid_coord)
-        idx_sort = np.argsort(key)
-        key_sort = key[idx_sort]
-        _, inverse, count = np.unique(key_sort, return_inverse=True, return_counts=True)
+        grid_coord, scaled_coord, min_coord, order, starts, counts, vox = self._voxel_runs(
+            data_dict["coord"]
+        )
+        normal = data_dict.get("normal")
         if self.mode == "train":
-            idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + np.random.randint(0, count.max(), count.size) % count
-            idx_unique = idx_sort[idx_select]
+            # one uniformly random point per voxel
+            offsets = np.random.randint(0, counts.max(), counts.size) % counts
+            picked = order[starts + offsets]
             if "sampled_index" in data_dict:
-                idx_unique = np.unique(np.append(idx_unique, data_dict["sampled_index"]))
-                mask = np.zeros_like(data_dict["segment"]).astype(bool)
-                mask[data_dict["sampled_index"]] = True
-                data_dict["sampled_index"] = np.where(mask[idx_unique])[0]
-            data_dict = index_operator(data_dict, idx_unique)
-            if self.return_inverse:
-                data_dict["inverse"] = np.zeros_like(inverse)
-                data_dict["inverse"][idx_sort] = inverse
-            if self.return_grid_coord:
-                data_dict["grid_coord"] = grid_coord[idx_unique]
-                if "grid_coord" not in data_dict["index_valid_keys"]:
-                    data_dict["index_valid_keys"] = list(data_dict["index_valid_keys"]) + ["grid_coord"]
-            if self.return_min_coord:
-                data_dict["min_coord"] = min_coord.reshape([1, 3])
-            if self.return_displacement:
-                displacement = scaled_coord - grid_coord - 0.5
-                if self.project_displacement:
-                    displacement = np.sum(displacement * data_dict["normal"], axis=-1, keepdims=True)
-                data_dict["displacement"] = displacement[idx_unique]
-                if "displacement" not in data_dict["index_valid_keys"]:
-                    data_dict["index_valid_keys"].append("displacement")
-            return data_dict
+                # points required to survive sampling (data-efficient LA/LR
+                # benchmarks, reference `transform.py:874-914`)
+                must_keep = data_dict["sampled_index"]
+                picked = np.unique(np.append(picked, must_keep))
+                keep_mask = np.zeros(len(data_dict["segment"]), bool)
+                keep_mask[must_keep] = True
+                data_dict["sampled_index"] = np.flatnonzero(keep_mask[picked])
+            data_dict = index_operator(data_dict, picked)
+            return self._attach(
+                data_dict, picked, grid_coord, scaled_coord, min_coord, vox, normal
+            )
 
-        # test mode: exhaustive complementary subsets
-        data_part_list = []
-        for i in range(count.max()):
-            idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + i % count
-            idx_part = idx_sort[idx_select]
-            data_part = index_operator(data_dict, idx_part, duplicate=True)
-            data_part["index"] = idx_part
-            if self.return_inverse:
-                data_part["inverse"] = np.zeros_like(inverse)
-                data_part["inverse"][idx_sort] = inverse
-            if self.return_grid_coord:
-                data_part["grid_coord"] = grid_coord[idx_part]
-                if "grid_coord" not in data_part["index_valid_keys"]:
-                    data_part["index_valid_keys"] = list(data_part["index_valid_keys"]) + ["grid_coord"]
-            if self.return_min_coord:
-                data_part["min_coord"] = min_coord.reshape([1, 3])
-            if self.return_displacement:
-                displacement = scaled_coord - grid_coord - 0.5
-                if self.project_displacement:
-                    displacement = np.sum(displacement * data_dict["normal"], axis=-1, keepdims=True)
-                data_part["displacement"] = displacement[idx_part]
-                if "displacement" not in data_part["index_valid_keys"]:
-                    data_part["index_valid_keys"].append("displacement")
-            data_part_list.append(data_part)
-        return data_part_list
+        # test mode: round-robin over each voxel's run -> count.max()
+        # complementary subsets that together cover every point exactly once
+        parts = []
+        for i in range(counts.max()):
+            picked = order[starts + i % counts]
+            part = index_operator(data_dict, picked, duplicate=True)
+            part["index"] = picked
+            parts.append(
+                self._attach(part, picked, grid_coord, scaled_coord, min_coord, vox, normal)
+            )
+        return parts
 
     @staticmethod
     def ravel_hash_vec(arr):
+        """Row-wise mixed-radix ravel (collision-free for non-negative grids)."""
         assert arr.ndim == 2
-        arr = arr.copy()
-        arr -= arr.min(0)
-        arr = arr.astype(np.uint64, copy=False)
-        arr_max = arr.max(0).astype(np.uint64) + 1
-        keys = np.zeros(arr.shape[0], dtype=np.uint64)
-        for j in range(arr.shape[1] - 1):
-            keys += arr[:, j]
-            keys *= arr_max[j + 1]
-        keys += arr[:, -1]
-        return keys
+        arr = np.ascontiguousarray(arr, dtype=np.int64)
+        arr = (arr - arr.min(0)).astype(np.uint64)
+        radix = arr.max(0).astype(np.uint64) + np.uint64(1)
+        h = arr[:, 0]
+        for j in range(1, arr.shape[1]):
+            h = h * radix[j] + arr[:, j]
+        return h
 
     @staticmethod
     def fnv_hash_vec(arr):
-        """FNV64-1A over rows."""
+        """Row-wise FNV-1a (standard 64-bit offset basis / prime)."""
         assert arr.ndim == 2
-        arr = arr.copy().astype(np.uint64, copy=False)
-        hashed_arr = np.uint64(14695981039346656037) * np.ones(arr.shape[0], dtype=np.uint64)
-        for j in range(arr.shape[1]):
-            hashed_arr *= np.uint64(1099511628211)
-            hashed_arr = np.bitwise_xor(hashed_arr, arr[:, j])
-        return hashed_arr
+        arr = np.ascontiguousarray(arr, dtype=np.uint64)
+        h = np.full(arr.shape[0], np.uint64(0xCBF29CE484222325))
+        for col in arr.T:
+            h = (h * np.uint64(0x100000001B3)) ^ col
+        return h
 
 
 @TRANSFORMS.register_module()

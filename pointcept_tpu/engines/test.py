@@ -60,7 +60,12 @@ class TesterBase:
         if not hasattr(self, "_geometry_plan"):
             self._geometry_plan = None
             bb = dict(self.cfg.model).get("backbone")
-            if self.cfg.get("host_geometry", True) and bb and str(dict(bb).get("type", "")).startswith("PT-v3"):
+            host_geo = self.cfg.get("host_geometry")
+            if host_geo is None:
+                # mirror Trainer.geometry_plan: an explicit block-engine
+                # backbone builds geometry on-device instead
+                host_geo = not (bb and dict(bb).get("conv_engine") == "block")
+            if host_geo and bb and str(dict(bb).get("type", "")).startswith("PT-v3"):
                 try:
                     from pointcept_tpu.ops import host_geometry as hg
 

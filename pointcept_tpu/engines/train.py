@@ -159,15 +159,27 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional
                 inputs,
                 train=True,
                 rngs={"shuffle": ks, "dropout": kd, "mask": km},
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "diagnostics"],
                 **extra,
             )
-            return out["loss"], updates["batch_stats"]
+            return out["loss"], (updates["batch_stats"], updates.get("diagnostics", {}))
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (new_bs, diag)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, "data")
         loss_m = jax.lax.pmean(loss, "data")
         new_bs = jax.lax.pmean(new_bs, "data")
+        # overflow observability: static-capacity drops (pool clusters / conv
+        # blocks beyond capacity) summed over all sites and devices
+        overflow = {}
+        for name in ("pool_overflow", "block_overflow"):
+            leaves = [
+                v for path, v in jax.tree_util.tree_leaves_with_path(diag)
+                if name in jax.tree_util.keystr(path)
+            ]
+            if leaves:
+                overflow[name] = jax.lax.psum(
+                    sum(jnp.sum(l) for l in leaves), "data"
+                )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if ema_pairs is not None:
@@ -184,7 +196,7 @@ def build_train_step(model, tx, num_scenes: int, mesh: Mesh, condition: Optional
         new_state = TrainState(
             step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
         )
-        return new_state, {"loss": loss_m}
+        return new_state, {"loss": loss_m, **overflow}
 
     smapped = jax.shard_map(
         step_fn,
@@ -340,11 +352,21 @@ class Trainer(TrainerBase):
         Enabled by default for PT-v3 backbones (cfg.host_geometry=False opts
         out): the data workers precompute curve orders / neighbor maps / patch
         partitions / pooling clusters so the device step is pure gather/GEMM."""
-        if not self.cfg.get("host_geometry", True):
-            return None
         bb = dict(self.cfg.model).get("backbone")
         if not bb or not str(dict(bb).get("type", "")).startswith("PT-v3"):
             return None
+        host_geo = self.cfg.get("host_geometry")
+        if host_geo is None:
+            # a backbone explicitly configured for the on-device block engine
+            # opts out of host geometry (which would silently disable it)
+            host_geo = dict(bb).get("conv_engine") != "block"
+        if not host_geo:
+            self.logger.info(
+                "host_geometry off: geometry built on-device "
+                f"(conv_engine={dict(bb).get('conv_engine', 'gather')})"
+            )
+            return None
+        self.logger.info("host_geometry on: PTv3 geometry precomputed by data workers")
         from pointcept_tpu.ops import host_geometry as hg
 
         try:
@@ -511,6 +533,15 @@ class Trainer(TrainerBase):
         if self.storage:
             self.storage.put_scalar("loss", float(metrics["loss"]))
             self.storage.put_scalar("lr", lr, smoothing_hint=False)
+            for k in ("pool_overflow", "block_overflow"):
+                if k in metrics:
+                    v = float(metrics[k])
+                    self.storage.put_scalar(k, v, smoothing_hint=False)
+                    if v > 0:
+                        self.logger.warning(
+                            f"{k}={int(v)} points dropped by static capacity this step "
+                            "— increase pool_capacity_factors/block_capacity_factor"
+                        )
 
     # ---------------------------------------------------------------- eval step
     def _build_eval_step(self, condition=None):

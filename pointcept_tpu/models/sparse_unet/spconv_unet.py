@@ -38,7 +38,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def apply_bn(name, pd, x, mask, train, condition, context):
+def apply_bn(name, pd, x, mask, train, condition, context, momentum=0.01, eps=1e-3):
     if pd is not None:
         return PDNorm(
             conditions=tuple(pd["conditions"]),
@@ -47,7 +47,7 @@ def apply_bn(name, pd, x, mask, train, condition, context):
             norm_type="bn",
             name=name,
         )(x, mask, train, condition, context)
-    return MaskedBatchNorm(name=name)(x, mask, train)
+    return MaskedBatchNorm(momentum=momentum, eps=eps, name=name)(x, mask, train)
 
 
 class SpSubMConv(nn.Module):
@@ -67,25 +67,35 @@ class SpSubMConv(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """Residual SubM k3 block (reference `spconv_unet_v1m1_base.py:23-85`)."""
+    """Residual SubM k3 block (reference `spconv_unet_v1m1_base.py:23-85`).
+
+    bn1/bn2 use `bn_momentum`; the projection norm uses `proj_bn_momentum`
+    (the reference v1m2 variant pins proj/transition norms to 0.02,
+    `spconv_unet_v1m2_bn_momentum.py:66`)."""
 
     embed_channels: int
     pd: Optional[dict] = None
+    bn_momentum: float = 0.01
+    proj_bn_momentum: float = 0.01
+    bn_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, feat, nbr3, mask, train: bool, condition=None, context=None):
         cin = feat.shape[-1]
         residual = feat
         out = SpSubMConv(self.embed_channels, 27, name="conv1")(feat, nbr3)
-        out = apply_bn("bn1", self.pd, out, mask, train, condition, context)
+        out = apply_bn("bn1", self.pd, out, mask, train, condition, context,
+                       momentum=self.bn_momentum, eps=self.bn_eps)
         out = nn.relu(out)
         out = SpSubMConv(self.embed_channels, 27, name="conv2")(out, nbr3)
-        out = apply_bn("bn2", self.pd, out, mask, train, condition, context)
+        out = apply_bn("bn2", self.pd, out, mask, train, condition, context,
+                       momentum=self.bn_momentum, eps=self.bn_eps)
         if cin != self.embed_channels:
             residual = SpSubMConv(self.embed_channels, 1, name="proj_conv")(
                 feat, jnp.where(mask, jnp.arange(feat.shape[0], dtype=jnp.int32), -1)[:, None]
             )
-            residual = apply_bn("proj_norm", self.pd, residual, mask, train, condition, context)
+            residual = apply_bn("proj_norm", self.pd, residual, mask, train, condition, context,
+                                momentum=self.proj_bn_momentum, eps=self.bn_eps)
         out = nn.relu(out + residual)
         return out
 
@@ -111,6 +121,11 @@ class SpUNetBase(nn.Module):
     pdnorm_affine: bool = True
     pdnorm_conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
     zero_init: bool = False  # parity no-op (reference SpUNet-v1m3 flag)
+    # BN numerics (v1m1: torch BatchNorm1d(momentum=0.01, eps=1e-3); the v1m2
+    # variant raises block-norm momentum and pins transition norms to 0.02)
+    bn_momentum: float = 0.01
+    bn_eps: float = 1e-3
+    transition_bn_momentum: Optional[float] = None  # stem/down/up/proj norms
     # reference SpUNet-v1m3 keyword aliases (configs use these names)
     conditions: Optional[Sequence[str]] = None
     norm_decouple: Optional[bool] = None
@@ -131,6 +146,7 @@ class SpUNetBase(nn.Module):
                 adaptive=self.norm_adaptive if self.norm_adaptive is not None else self.pdnorm_adaptive,
             )
         condition, context = pb.condition, pb.context
+        tmom = self.transition_bn_momentum if self.transition_bn_momentum is not None else self.bn_momentum
 
         # level-0 structures
         pb = pb.with_grid_coord(self.grid_size)
@@ -155,7 +171,8 @@ class SpUNetBase(nn.Module):
         else:
             nbr5 = build_subm_neighbor_map(grid, kb, mask, self.serialize_depth, 5)
         feat = SpSubMConv(self.base_channels, 125, name="conv_input")(pb.feat, nbr5)
-        feat = apply_bn("stem_norm", pd, feat, mask, train, condition, context)
+        feat = apply_bn("stem_norm", pd, feat, mask, train, condition, context,
+                        momentum=tmom, eps=self.bn_eps)
         feat = nn.relu(feat)
 
         # encoder
@@ -177,7 +194,8 @@ class SpUNetBase(nn.Module):
             cin = feat.shape[-1]
             w = self.param(f"down{s}_weight", trunc_init, (8, cin, self.channels[s]))
             feat = strided_conv(feat, child, w)
-            feat = apply_bn(f"down{s}_norm", pd, feat, out_mask, train, condition, context)
+            feat = apply_bn(f"down{s}_norm", pd, feat, out_mask, train, condition, context,
+                            momentum=tmom, eps=self.bn_eps)
             feat = nn.relu(feat)
 
             if use_block(cap):
@@ -186,7 +204,7 @@ class SpUNetBase(nn.Module):
                 nbr3 = build_subm_neighbor_map(out_grid, out_kb, out_mask, lv["depth"] - 1, 3)
             levels[s + 1]["nbr3"] = nbr3
             for i in range(self.layers[s]):
-                feat = BasicBlock(self.channels[s], pd=pd, name=f"enc{s}_block{i}")(
+                feat = BasicBlock(self.channels[s], pd=pd, bn_momentum=self.bn_momentum, proj_bn_momentum=tmom, bn_eps=self.bn_eps, name=f"enc{s}_block{i}")(
                     feat, nbr3, out_mask, train, condition, context
                 )
             skips.append(feat)
@@ -212,7 +230,8 @@ class SpUNetBase(nn.Module):
             st = strided[s]
             feat = inverse_conv(feat, st["parent_of"], st["child_slot"], w)
             lv_mask = levels[s]["mask"]
-            feat = apply_bn(f"up{s}_norm", pd, feat, lv_mask, train, condition, context)
+            feat = apply_bn(f"up{s}_norm", pd, feat, lv_mask, train, condition, context,
+                            momentum=tmom, eps=self.bn_eps)
             feat = nn.relu(feat)
             skip = skips.pop()
             feat = jnp.concatenate([feat, skip], axis=-1)
@@ -224,7 +243,7 @@ class SpUNetBase(nn.Module):
                 # the level-0 k3 map is a column subset of the k5 stem map
                 nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
             for i in range(self.layers[num_stages + (num_stages - 1 - s)]):
-                feat = BasicBlock(dec_out, pd=pd, name=f"dec{s}_block{i}")(
+                feat = BasicBlock(dec_out, pd=pd, bn_momentum=self.bn_momentum, proj_bn_momentum=tmom, bn_eps=self.bn_eps, name=f"dec{s}_block{i}")(
                     feat, nbr3, lv_mask, train, condition, context
                 )
 
@@ -236,9 +255,15 @@ class SpUNetBase(nn.Module):
         return pb.replace(feat=feat)
 
 
-# v1m2: bn-momentum variant (same graph; momentum is a MaskedBatchNorm default
-# here, so the registration is an alias — reference `spconv_unet_v1m2_bn_momentum.py`)
-MODELS.register_module(name="SpUNet-v1m2", module=SpUNetBase)
+@MODELS.register_module("SpUNet-v1m2")
+class SpUNetBNMomentum(SpUNetBase):
+    """bn-momentum variant (reference `spconv_unet_v1m2_bn_momentum.py`):
+    block norms momentum=0.1 (configurable), stem/transition/proj norms
+    momentum=0.02, eps=1e-5."""
+
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    transition_bn_momentum: Optional[float] = 0.02
 
 
 @MODELS.register_module("SpUNet-v1m3")

@@ -207,10 +207,136 @@ def convert_spunet(state_dict: dict, backbone_prefix: str = "backbone.") -> Tupl
     return tb.params, tb.stats, sorted(set(unmatched))
 
 
+def convert_ptv2(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[dict, dict, list]:
+    """Reference PT-v2m2 (DefaultSegmentor) state_dict -> (params, batch_stats, unmatched).
+
+    Reference module names from `point_transformer_v2m2_base.py:448-556`:
+    patch_embed.{proj.0 linear, proj.1 PointBatchNorm(.norm), blocks.blocks.i},
+    enc_stages.s.{down.fc, down.norm.norm, blocks.blocks.i},
+    dec_stages.s.{up.proj.0/1, up.proj_skip.0/1, blocks.blocks.i},
+    seg_head.{0 linear, 1.norm bn, 3 linear}. Each Block (`:132-178`):
+    fc1/fc3 (no-bias linears), norm{1,2,3}.norm, attn.{linear_q/k (Sequential
+    linear+PointBatchNorm), linear_v, linear_p_multiplier/linear_p_bias/
+    weight_encoding (Sequential linear+bn+relu+linear)}.
+    """
+    src = dict(state_dict)
+    tb = TreeBuilder()
+    unmatched = []
+    bp = backbone_prefix
+    out = "backbone_module"
+
+    def pbn(tprefix, fpath):
+        # PointBatchNorm wraps BatchNorm1d at `.norm`; our PointBN wraps
+        # MaskedBatchNorm at `bn`
+        _map_bn(tb, src, f"{tprefix}.norm", f"{fpath}/bn")
+
+    def seq3(tprefix, fprefix):  # Sequential(linear, PointBatchNorm, relu, linear)
+        _map_linear(tb, src, f"{tprefix}.0", f"{fprefix}_fc1")
+        pbn(f"{tprefix}.1", f"{fprefix}_norm")
+        _map_linear(tb, src, f"{tprefix}.3", f"{fprefix}_fc2")
+
+    def block(tprefix, fprefix):
+        _map_linear(tb, src, f"{tprefix}.fc1", f"{fprefix}/fc1")
+        _map_linear(tb, src, f"{tprefix}.fc3", f"{fprefix}/fc3")
+        for i in (1, 2, 3):
+            pbn(f"{tprefix}.norm{i}", f"{fprefix}/norm{i}")
+        at, af = f"{tprefix}.attn", f"{fprefix}/attn"
+        _map_linear(tb, src, f"{at}.linear_q.0", f"{af}/linear_q")
+        pbn(f"{at}.linear_q.1", f"{af}/q_norm")
+        _map_linear(tb, src, f"{at}.linear_k.0", f"{af}/linear_k")
+        pbn(f"{at}.linear_k.1", f"{af}/k_norm")
+        _map_linear(tb, src, f"{at}.linear_v", f"{af}/linear_v")
+        if f"{at}.linear_p_multiplier.0.weight" in src:
+            seq3(f"{at}.linear_p_multiplier", f"{af}/pem")
+        if f"{at}.linear_p_bias.0.weight" in src:
+            seq3(f"{at}.linear_p_bias", f"{af}/peb")
+        if f"{at}.weight_encoding.0.weight" in src:
+            seq3(f"{at}.weight_encoding", f"{af}/we")
+
+    handled = set()
+
+    def claim(prefix):
+        for k in src:
+            if k.startswith(prefix):
+                handled.add(k)
+
+    for key in list(src):
+        if not key.startswith(bp):
+            if key.startswith("seg_head."):
+                # PTv2's seg head lives inside the backbone; DefaultSegmentor
+                # adds nothing else
+                continue
+            unmatched.append(key)
+            continue
+        r = key[len(bp):]
+        if r.startswith("patch_embed.proj.0."):
+            _map_linear(tb, src, f"{bp}patch_embed.proj.0", f"{out}/patch_proj")
+            claim(f"{bp}patch_embed.proj.0.")
+        elif r.startswith("patch_embed.proj.1."):
+            pbn(f"{bp}patch_embed.proj.1", f"{out}/patch_norm")
+            claim(f"{bp}patch_embed.proj.1.")
+        elif m := re.match(r"patch_embed\.blocks\.blocks\.(\d+)\.", r):
+            i = m.group(1)
+            block(f"{bp}patch_embed.blocks.blocks.{i}", f"{out}/patch_embed/block{i}")
+            claim(f"{bp}patch_embed.blocks.blocks.{i}.")
+        elif m := re.match(r"enc_stages\.(\d+)\.down\.fc\.", r):
+            s = m.group(1)
+            _map_linear(tb, src, f"{bp}enc_stages.{s}.down.fc", f"{out}/enc{s}_down/fc")
+            claim(f"{bp}enc_stages.{s}.down.fc.")
+        elif m := re.match(r"enc_stages\.(\d+)\.down\.norm\.", r):
+            s = m.group(1)
+            pbn(f"{bp}enc_stages.{s}.down.norm", f"{out}/enc{s}_down/norm")
+            claim(f"{bp}enc_stages.{s}.down.norm.")
+        elif m := re.match(r"enc_stages\.(\d+)\.blocks\.blocks\.(\d+)\.", r):
+            s, i = m.group(1), m.group(2)
+            block(f"{bp}enc_stages.{s}.blocks.blocks.{i}", f"{out}/enc{s}_blocks/block{i}")
+            claim(f"{bp}enc_stages.{s}.blocks.blocks.{i}.")
+        elif m := re.match(r"dec_stages\.(\d+)\.up\.proj\.0\.", r):
+            s = m.group(1)
+            _map_linear(tb, src, f"{bp}dec_stages.{s}.up.proj.0", f"{out}/dec{s}_up/proj_fc")
+            claim(f"{bp}dec_stages.{s}.up.proj.0.")
+        elif m := re.match(r"dec_stages\.(\d+)\.up\.proj\.1\.", r):
+            s = m.group(1)
+            pbn(f"{bp}dec_stages.{s}.up.proj.1", f"{out}/dec{s}_up/proj_norm")
+            claim(f"{bp}dec_stages.{s}.up.proj.1.")
+        elif m := re.match(r"dec_stages\.(\d+)\.up\.proj_skip\.0\.", r):
+            s = m.group(1)
+            _map_linear(tb, src, f"{bp}dec_stages.{s}.up.proj_skip.0", f"{out}/dec{s}_up/skip_fc")
+            claim(f"{bp}dec_stages.{s}.up.proj_skip.0.")
+        elif m := re.match(r"dec_stages\.(\d+)\.up\.proj_skip\.1\.", r):
+            s = m.group(1)
+            pbn(f"{bp}dec_stages.{s}.up.proj_skip.1", f"{out}/dec{s}_up/skip_norm")
+            claim(f"{bp}dec_stages.{s}.up.proj_skip.1.")
+        elif m := re.match(r"dec_stages\.(\d+)\.blocks\.blocks\.(\d+)\.", r):
+            s, i = m.group(1), m.group(2)
+            block(f"{bp}dec_stages.{s}.blocks.blocks.{i}", f"{out}/dec{s}_blocks/block{i}")
+            claim(f"{bp}dec_stages.{s}.blocks.blocks.{i}.")
+        elif r.startswith("seg_head.0."):
+            _map_linear(tb, src, f"{bp}seg_head.0", f"{out}/seg_head_fc1")
+            claim(f"{bp}seg_head.0.")
+        elif r.startswith("seg_head.1."):
+            pbn(f"{bp}seg_head.1", f"{out}/seg_head_norm")
+            claim(f"{bp}seg_head.1.")
+        elif r.startswith("seg_head.3."):
+            _map_linear(tb, src, f"{bp}seg_head.3", f"{out}/seg_head_fc2")
+            claim(f"{bp}seg_head.3.")
+        else:
+            unmatched.append(key)
+    unmatched = [k for k in unmatched if k not in handled]
+    return tb.params, tb.stats, sorted(set(unmatched))
+
+
 CONVERTERS = {
     "PT-v3m1": convert_ptv3,
+    "PT-v2m2": convert_ptv2,
     "SpUNet-v1m1": convert_spunet,
+    # v1m2 shares v1m1's graph/key names (only BN hyperparams differ)
+    "SpUNet-v1m2": convert_spunet,
 }
+# MinkUNet variants are SpUNet-graph presets (models/sparse_unet/spconv_unet.py)
+for _n in ("MinkUNet14", "MinkUNet18", "MinkUNet34", "MinkUNet50"):
+    for _v in "ABCD":
+        CONVERTERS[f"{_n}{_v}"] = convert_spunet
 
 
 def convert_state_dict(state_dict: dict, model_type: str, **kwargs):

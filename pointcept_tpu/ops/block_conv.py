@@ -188,6 +188,9 @@ def build_block_tables(
         block_grid=block_grid,
         fill_start=start.astype(jnp.int32),
         rc_sorted=rc_sorted.astype(jnp.int32),
+        # valid points whose block fell beyond block_capacity: these receive
+        # zero conv output — must be observed, not silent (one scalar reduce)
+        overflow=jnp.sum((valid_sorted & ~rank_ok).astype(jnp.int32)),
     )
 
 

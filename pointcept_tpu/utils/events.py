@@ -2,7 +2,9 @@
 
 Parity target: reference `pointcept/utils/events.py` (`EventStorage:296`,
 `HistoryBuffer:533`, `JSONWriter:60`, `CommonMetricPrinter:190`,
-`ExceptionWriter:599`). Clean-room implementation.
+`ExceptionWriter:599`); the HistoryBuffer/EventStorage API shape follows that
+file (itself derived from detectron2, Apache-2.0) — the implementation here is
+our own.
 """
 
 from __future__ import annotations
@@ -13,9 +15,9 @@ import logging
 import os
 import time
 import traceback
-from collections import defaultdict
+from collections import defaultdict, deque
 from contextlib import contextmanager
-from typing import Dict, List, Optional, Tuple
+from typing import Deque, Dict, List, Optional, Tuple
 
 _CURRENT_STORAGE_STACK: List["EventStorage"] = []
 
@@ -26,39 +28,39 @@ def get_event_storage() -> "EventStorage":
 
 
 class HistoryBuffer:
-    """Track a series of scalars with access to median/mean of the latest window."""
+    """Bounded scalar series with windowed median/mean and a running global
+    average (O(1) update via a deque; the bound only limits memory)."""
 
     def __init__(self, max_length: int = 1000000):
-        self._max_length = max_length
-        self._data: List[Tuple[float, float]] = []  # (value, iteration)
+        self._data: Deque[Tuple[float, float]] = deque(maxlen=max_length)
         self._count = 0
         self._global_avg = 0.0
 
     def update(self, value: float, iteration: Optional[float] = None):
-        if iteration is None:
-            iteration = self._count
-        if len(self._data) == self._max_length:
-            self._data.pop(0)
-        self._data.append((value, iteration))
+        self._data.append((value, self._count if iteration is None else iteration))
         self._count += 1
         self._global_avg += (value - self._global_avg) / self._count
 
     def latest(self) -> float:
         return self._data[-1][0]
 
+    def _window(self, window_size: int) -> List[float]:
+        n = min(window_size, len(self._data))
+        return [v for v, _ in list(self._data)[-n:]]
+
     def median(self, window_size: int) -> float:
-        vals = sorted(x[0] for x in self._data[-window_size:])
+        vals = sorted(self._window(window_size))
         return vals[len(vals) // 2]
 
     def avg(self, window_size: int) -> float:
-        vals = [x[0] for x in self._data[-window_size:]]
+        vals = self._window(window_size)
         return sum(vals) / len(vals)
 
     def global_avg(self) -> float:
         return self._global_avg
 
     def values(self) -> List[Tuple[float, float]]:
-        return self._data
+        return list(self._data)
 
 
 class EventStorage:

@@ -157,3 +157,86 @@ def test_convert_spunet_structure():
     n1 = check(params, variables["params"])
     n2 = check(stats, variables["batch_stats"])
     assert n1 > 30 and n2 > 10
+
+
+def test_convert_ptv2_structure_and_values():
+    """Synthetic torch-style state_dict following the reference PT-v2m2 naming
+    (point_transformer_v2m2_base.py:448-556) -> every converted leaf grafts
+    onto our PTv2 tree with matching shapes, zero unmatched keys."""
+    rng = np.random.RandomState(2)
+    pe_c, enc, dec, groups_pe = 8, (16, 32), (8, 16), 2
+    cfg = dict(
+        type="PT-v2m2", in_channels=6, num_classes=13,
+        patch_embed_depth=1, patch_embed_channels=pe_c, patch_embed_groups=groups_pe,
+        patch_embed_neighbours=8,
+        enc_depths=(1, 1), enc_channels=enc, enc_groups=(4, 8), enc_neighbours=(8, 8),
+        dec_depths=(1, 1), dec_channels=dec, dec_groups=(2, 4), dec_neighbours=(8, 8),
+        grid_sizes=(0.2, 0.4), pool_capacity_factors=(0.75, 0.75),
+    )
+    pb = make_batch([60], capacity=96, num_classes=13)
+    model = build_model(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+
+    sd = {}
+
+    def torch_block(prefix, c, g):
+        _torch_linear(rng, c, c, False, f"{prefix}.fc1", sd)
+        _torch_linear(rng, c, c, False, f"{prefix}.fc3", sd)
+        for i in (1, 2, 3):
+            _torch_bn(rng, c, f"{prefix}.norm{i}.norm", sd)
+        at = f"{prefix}.attn"
+        _torch_linear(rng, c, c, True, f"{at}.linear_q.0", sd)
+        _torch_bn(rng, c, f"{at}.linear_q.1.norm", sd)
+        _torch_linear(rng, c, c, True, f"{at}.linear_k.0", sd)
+        _torch_bn(rng, c, f"{at}.linear_k.1.norm", sd)
+        _torch_linear(rng, c, c, True, f"{at}.linear_v", sd)
+        # pe_bias branch (default pe_multiplier=False)
+        _torch_linear(rng, 3, c, True, f"{at}.linear_p_bias.0", sd)
+        _torch_bn(rng, c, f"{at}.linear_p_bias.1.norm", sd)
+        _torch_linear(rng, c, c, True, f"{at}.linear_p_bias.3", sd)
+        _torch_linear(rng, c, g, True, f"{at}.weight_encoding.0", sd)
+        _torch_bn(rng, g, f"{at}.weight_encoding.1.norm", sd)
+        _torch_linear(rng, g, g, True, f"{at}.weight_encoding.3", sd)
+
+    _torch_linear(rng, 6, pe_c, False, "backbone.patch_embed.proj.0", sd)
+    _torch_bn(rng, pe_c, "backbone.patch_embed.proj.1.norm", sd)
+    torch_block("backbone.patch_embed.blocks.blocks.0", pe_c, groups_pe)
+    enc_in = [pe_c] + list(enc)
+    for s in range(2):
+        _torch_linear(rng, enc_in[s], enc[s], False, f"backbone.enc_stages.{s}.down.fc", sd)
+        _torch_bn(rng, enc[s], f"backbone.enc_stages.{s}.down.norm.norm", sd)
+        torch_block(f"backbone.enc_stages.{s}.blocks.blocks.0", enc[s], (4, 8)[s])
+    dec_full = list(dec) + [enc[-1]]
+    for s in range(2):
+        _torch_linear(rng, dec_full[s + 1], dec[s], True, f"backbone.dec_stages.{s}.up.proj.0", sd)
+        _torch_bn(rng, dec[s], f"backbone.dec_stages.{s}.up.proj.1.norm", sd)
+        _torch_linear(rng, enc_in[s], dec[s], True, f"backbone.dec_stages.{s}.up.proj_skip.0", sd)
+        _torch_bn(rng, dec[s], f"backbone.dec_stages.{s}.up.proj_skip.1.norm", sd)
+        torch_block(f"backbone.dec_stages.{s}.blocks.blocks.0", dec[s], (2, 4)[s])
+    _torch_linear(rng, dec[0], dec[0], True, "backbone.seg_head.0", sd)
+    _torch_bn(rng, dec[0], "backbone.seg_head.1.norm", sd)
+    _torch_linear(rng, dec[0], 13, True, "backbone.seg_head.3", sd)
+
+    params, stats, unmatched = convert_state_dict(sd, "PT-v2m2")
+    assert unmatched == [], unmatched
+
+    def check(src, dst, path=""):
+        count = 0
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k}"
+            if isinstance(v, dict):
+                count += check(v, dst[k], f"{path}/{k}")
+            else:
+                assert np.asarray(dst[k]).shape == v.shape, f"{path}/{k}: {np.asarray(dst[k]).shape} vs {v.shape}"
+                count += 1
+        return count
+
+    tgt_params = {"backbone_module": variables["params"]}
+    tgt_stats = {"backbone_module": variables["batch_stats"]}
+    n1 = check(params, tgt_params)
+    n2 = check(stats, tgt_stats)
+    assert n1 > 60 and n2 > 20
+    np.testing.assert_allclose(
+        params["backbone_module"]["enc0_blocks"]["block0"]["attn"]["linear_q"]["kernel"],
+        sd["backbone.enc_stages.0.blocks.blocks.0.attn.linear_q.0.weight"].T,
+    )

@@ -208,3 +208,30 @@ def test_ptv3m3_rope_forward():
     out3 = model.apply(params, pb.replace(coord=pb.coord * 3.0), train=False)
     diff3 = np.abs(np.asarray(out.feat) - np.asarray(out3.feat))[m]
     assert diff3.max() > diff.max() * 3
+
+
+def test_overflow_diagnostics(pb):
+    """Static-capacity drops are surfaced via the `diagnostics` collection:
+    zero at generous capacities, nonzero when deliberately undersized."""
+    def run(**over):
+        model = build_model(small_ptv3_cfg(shuffle_orders=False, **over))
+        rngs = {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)}
+        variables = model.init(rngs, pb, train=False)
+        _, diag = model.apply(
+            variables, pb, train=False, mutable=["diagnostics"],
+            rngs={"shuffle": jax.random.PRNGKey(3)},
+        )
+        total = {"pool_overflow": 0, "block_overflow": 0}
+        for path, v in jax.tree_util.tree_leaves_with_path(diag):
+            for k in total:
+                if k in jax.tree_util.keystr(path):
+                    total[k] += int(np.sum(np.asarray(v)))
+        return total
+
+    ok = run(conv_engine="block", block_capacity_factor=1.0)
+    assert ok["pool_overflow"] == 0
+    assert ok["block_overflow"] == 0
+    # 384-capacity scene with ~280 points over 8^3 blocks: 128-block table is
+    # plenty; force overflow with a tiny pooled capacity instead
+    tight = run(pool_capacity_factors=(0.05, 0.5))
+    assert tight["pool_overflow"] > 0

@@ -1,0 +1,273 @@
+"""Numeric parity vs torch (CPU) — the reference framework's numerics.
+
+The reference's training numerics are torch ops (BatchNorm1d momentum=0.01
+eps=1e-3, F.scaled_dot_product_attention, OneCycleLR, the pure-torch Lovasz
+loss at `/root/reference/pointcept/models/losses/lovasz.py:211`). torch (CPU)
+is installed in this environment, so these tests assert our JAX modules
+reproduce torch outputs at f32 tolerance; reference-module oracles are loaded
+from the reference tree at test time (executed, never copied).
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF_LOVASZ = "/root/reference/pointcept/models/losses/lovasz.py"
+
+
+def _load_ref_lovasz():
+    """Execute the reference lovasz module with its registry import stubbed."""
+    if not os.path.exists(REF_LOVASZ):
+        pytest.skip("reference tree unavailable")
+    src = open(REF_LOVASZ).read()
+    stub = (
+        "class _Reg:\n"
+        "    def register_module(self, *a, **k):\n"
+        "        def deco(c):\n"
+        "            return c\n"
+        "        return deco\n"
+        "LOSSES = _Reg()\n"
+    )
+    src = src.replace("from .builder import LOSSES", stub)
+    mod = {}
+    exec(compile(src, REF_LOVASZ, "exec"), mod)
+    return mod
+
+
+# --------------------------------------------------------------------- BN
+
+
+def test_masked_batchnorm_vs_torch_bn1d(rng):
+    from pointcept_tpu.models.modules import MaskedBatchNorm
+
+    n, c, steps = 500, 16, 4
+    bn_t = torch.nn.BatchNorm1d(c, momentum=0.01, eps=1e-3)
+    bn_t.train()
+    m = MaskedBatchNorm(momentum=0.01, eps=1e-3)
+    xs = [rng.randn(n, c).astype(np.float32) * 3 + 1.5 for _ in range(steps)]
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(xs[0]), None, True)
+    state = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    for x in xs:
+        out_t = bn_t(torch.from_numpy(x)).detach().numpy()
+        out_j, upd = m.apply(state, jnp.asarray(x), None, True, mutable=["batch_stats"])
+        state = {"params": state["params"], "batch_stats": upd["batch_stats"]}
+        np.testing.assert_allclose(np.asarray(out_j), out_t, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state["batch_stats"]["mean"]), bn_t.running_mean.numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["batch_stats"]["var"]), bn_t.running_var.numpy(), atol=1e-5, rtol=1e-5
+    )
+    # eval mode uses running stats
+    bn_t.eval()
+    x = xs[0]
+    out_t = bn_t(torch.from_numpy(x)).detach().numpy()
+    out_j = m.apply(state, jnp.asarray(x), None, False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=2e-5, rtol=1e-5)
+
+
+def test_masked_batchnorm_mask_equals_torch_on_valid_rows(rng):
+    """Masked BN over [valid+padding] == torch BN over the valid rows only."""
+    from pointcept_tpu.models.modules import MaskedBatchNorm
+
+    n, nv, c = 256, 170, 8
+    x = rng.randn(n, c).astype(np.float32)
+    x[nv:] = 1e6  # poison the padding rows: they must not affect stats
+    mask = np.arange(n) < nv
+    bn_t = torch.nn.BatchNorm1d(c, momentum=0.01, eps=1e-3)
+    bn_t.train()
+    out_t = bn_t(torch.from_numpy(x[:nv])).detach().numpy()
+    m = MaskedBatchNorm(momentum=0.01, eps=1e-3)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask), True)
+    out_j, upd = m.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), jnp.asarray(mask), True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(out_j)[:nv], out_t, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["mean"]), bn_t.running_mean.numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["var"]), bn_t.running_var.numpy(), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_layernorm_vs_torch(rng):
+    from pointcept_tpu.models.modules import LayerNorm
+
+    x = rng.randn(64, 32).astype(np.float32)
+    ln_t = torch.nn.LayerNorm(32, eps=1e-5)
+    out_t = ln_t(torch.from_numpy(x)).detach().numpy()
+    m = LayerNorm()
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out_j = m.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j), out_t, atol=1e-6, rtol=1e-5)
+
+
+# --------------------------------------------------------------- attention
+
+
+def test_patch_attention_vs_torch_sdpa(rng):
+    """Pallas flash attention (interpret mode on CPU) vs
+    F.scaled_dot_product_attention; bf16 compute => bf16 tolerance."""
+    from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention
+
+    npatch, h, k, d = 3, 4, 128, 16
+    q = rng.randn(npatch, h, k, d).astype(np.float32)
+    kk = rng.randn(npatch, h, k, d).astype(np.float32)
+    v = rng.randn(npatch, h, k, d).astype(np.float32)
+    out_t = torch.nn.functional.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(kk), torch.from_numpy(v)
+    ).numpy()
+    out_j = np.asarray(flash_patch_attention(jnp.asarray(q), jnp.asarray(kk), jnp.asarray(v)))
+    np.testing.assert_allclose(out_j, out_t, atol=2e-2, rtol=2e-2)  # bf16 MXU dtype
+    # f32 dense reference for tightness of the math itself
+    s = (q @ kk.transpose(0, 1, 3, 2)) * (d**-0.5)
+    p = torch.softmax(torch.from_numpy(s), dim=-1).numpy()
+    np.testing.assert_allclose(p @ v, out_t, atol=1e-5, rtol=1e-5)
+
+
+def test_kmajor_attention_vs_torch_sdpa(rng):
+    from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention_kmajor
+
+    npatch, h, k, d = 2, 2, 128, 16
+    qkv = rng.randn(npatch, k, 3, h, d).astype(np.float32)
+    out_j = np.asarray(flash_patch_attention_kmajor(jnp.asarray(qkv)))  # [nP,K,H,D]
+    q, kk, v = [torch.from_numpy(qkv[:, :, i].transpose(0, 2, 1, 3)) for i in range(3)]
+    out_t = torch.nn.functional.scaled_dot_product_attention(q, kk, v).numpy()
+    np.testing.assert_allclose(out_j.transpose(0, 2, 1, 3), out_t, atol=2e-2, rtol=2e-2)
+
+
+# ------------------------------------------------------------------ lovasz
+
+
+def test_lovasz_multiclass_vs_reference(rng):
+    from pointcept_tpu.models.losses import build_criteria
+
+    ref = _load_ref_lovasz()
+    RefLovasz = ref["LovaszLoss"]
+    n, c = 400, 13
+    logits = rng.randn(n, c).astype(np.float32) * 2
+    target = rng.randint(0, c, size=n).astype(np.int64)
+    target[::17] = -1  # ignore_index
+    ref_loss = RefLovasz(mode="multiclass", ignore_index=-1)(
+        torch.from_numpy(logits), torch.from_numpy(target)
+    ).item()
+    ours = build_criteria([dict(type="LovaszLoss", mode="multiclass", ignore_index=-1, loss_weight=1.0)])
+    j_loss = float(ours(jnp.asarray(logits), jnp.asarray(target.astype(np.int32))))
+    np.testing.assert_allclose(j_loss, ref_loss, atol=1e-5, rtol=1e-5)
+
+
+def test_lovasz_binary_vs_reference(rng):
+    ref = _load_ref_lovasz()
+    RefLovasz = ref["LovaszLoss"]
+    from pointcept_tpu.models.losses.lovasz import LovaszLoss
+
+    n = 300
+    logits = rng.randn(n).astype(np.float32)
+    target = (rng.rand(n) > 0.5).astype(np.int64)
+    ref_loss = RefLovasz(mode="binary")(
+        torch.from_numpy(logits), torch.from_numpy(target)
+    ).item()
+    j_loss = float(LovaszLoss(mode="binary", ignore_index=-1)(jnp.asarray(logits), jnp.asarray(target.astype(np.int32))))
+    np.testing.assert_allclose(j_loss, ref_loss, atol=1e-5, rtol=1e-5)
+
+
+# --------------------------------------------------------------- schedulers
+
+
+def test_onecycle_vs_torch(rng):
+    from pointcept_tpu.utils.scheduler import OneCycleLR
+
+    total = 100
+    max_lr = 0.006
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=max_lr)
+    sch_t = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=max_lr, total_steps=total, pct_start=0.04,
+        anneal_strategy="cos", div_factor=10.0, final_div_factor=1000.0,
+    )
+    ours = OneCycleLR(
+        total_steps=total, max_lr=max_lr, pct_start=0.04,
+        anneal_strategy="cos", div_factor=10.0, final_div_factor=1000.0,
+    )
+    torch_lrs, our_lrs = [], []
+    for step in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        our_lrs.append(float(ours(step)))
+        opt.step()
+        sch_t.step()
+    np.testing.assert_allclose(our_lrs, torch_lrs, rtol=1e-5, atol=1e-9)
+
+
+def test_cosine_annealing_vs_torch():
+    from pointcept_tpu.utils.scheduler import CosineAnnealingLR
+
+    total, base_lr = 60, 0.01
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    sch_t = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=total)
+    ours = CosineAnnealingLR(total_steps=total, base_lr=base_lr)
+    torch_lrs, our_lrs = [], []
+    for step in range(total):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        our_lrs.append(float(ours(step)))
+        opt.step()
+        sch_t.step()
+    np.testing.assert_allclose(our_lrs, torch_lrs, rtol=1e-5, atol=1e-9)
+
+
+def test_multistep_vs_torch():
+    from pointcept_tpu.utils.scheduler import MultiStepLR
+
+    total, base_lr = 40, 0.1
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    sch_t = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=[20, 30], gamma=0.1)
+    ours = MultiStepLR(total_steps=total, base_lr=base_lr, milestones=[0.5, 0.75], gamma=0.1)
+    for step in range(total):
+        np.testing.assert_allclose(
+            float(ours(step)), opt.param_groups[0]["lr"], rtol=1e-6,
+            err_msg=f"step {step}",
+        )
+        opt.step()
+        sch_t.step()
+
+
+# ------------------------------------------------------- cross entropy
+
+
+def test_cross_entropy_vs_torch(rng):
+    from pointcept_tpu.models.losses import build_criteria
+
+    n, c = 200, 20
+    logits = rng.randn(n, c).astype(np.float32)
+    target = rng.randint(0, c, size=n).astype(np.int64)
+    target[::7] = -1
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(target), ignore_index=-1
+    ).item()
+    ours = build_criteria([dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)])
+    j = float(ours(jnp.asarray(logits), jnp.asarray(target.astype(np.int32))))
+    np.testing.assert_allclose(j, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_smooth_ce_vs_torch(rng):
+    from pointcept_tpu.models.losses import build_criteria
+
+    n, c, eps = 150, 10, 0.2
+    logits = rng.randn(n, c).astype(np.float32)
+    target = rng.randint(0, c, size=n).astype(np.int64)
+    # reference semantics (`losses/misc.py:43`): smoothing mass eps/(C-1) on
+    # non-target classes — NOT torch's label_smoothing (eps/C incl. target)
+    lt, tt = torch.from_numpy(logits), torch.from_numpy(target)
+    one_hot = torch.zeros_like(lt).scatter(1, tt.view(-1, 1), 1)
+    one_hot = one_hot * (1 - eps) + (1 - one_hot) * eps / (c - 1)
+    ref = (-(one_hot * torch.log_softmax(lt, dim=1)).sum(dim=1)).mean().item()
+    ours = build_criteria([dict(type="SmoothCELoss", smoothing_ratio=eps, loss_weight=1.0)])
+    j = float(ours(jnp.asarray(logits), jnp.asarray(target.astype(np.int32))))
+    np.testing.assert_allclose(j, ref, atol=1e-5, rtol=1e-5)
