@@ -1,0 +1,51 @@
+# PTv2 base on Structured3D
+# (parity: reference configs/structured3d/semseg-pt-v2m2-0-base.py)
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+
+batch_size = 12
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="PT-v2m2",
+        in_channels=6,
+        num_classes=25,
+        patch_embed_depth=2,
+        patch_embed_channels=48,
+        patch_embed_groups=6,
+        patch_embed_neighbours=16,
+        enc_depths=(2, 6, 2),
+        enc_channels=(96, 192, 384),
+        enc_groups=(12, 24, 48),
+        enc_neighbours=(16, 16, 16),
+        dec_depths=(1, 1, 1),
+        dec_channels=(48, 96, 192),
+        dec_groups=(6, 12, 24),
+        dec_neighbours=(16, 16, 16),
+        grid_sizes=(0.1, 0.2, 0.4),
+        attn_qkv_bias=True,
+        pe_multiplier=False,
+        pe_bias=True,
+        attn_drop_rate=0.0,
+        drop_path_rate=0.3,
+        unpool_backend="map",
+    ),
+    criteria=[
+        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
+        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
+    ],
+)
+
+epoch = 100
+eval_epoch = 100
+optimizer = dict(_delete_=True, type="AdamW", lr=0.006, weight_decay=0.05)
+scheduler = dict(
+    type="OneCycleLR",
+    max_lr=0.006,
+    pct_start=0.05,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=1000.0,
+)
+param_dicts = [dict(keyword="blocks", lr=0.0006)]

@@ -235,3 +235,17 @@ def test_overflow_diagnostics(pb):
     # plenty; force overflow with a tiny pooled capacity instead
     tight = run(pool_capacity_factors=(0.05, 0.5))
     assert tight["pool_overflow"] > 0
+
+
+def test_ptv3_rpe_forward(pb):
+    """RPE path (s3dis rpe config): dense attention with relative-position
+    tables, f32 upcast (reference enable_flash=False, enable_rpe=True)."""
+    model = build_model(small_ptv3_cfg(
+        enable_rpe=True, enable_flash=False, upcast_attention=True, upcast_softmax=True,
+        shuffle_orders=False,
+    ))
+    rngs = {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, pb, train=False)
+    out = model.apply(variables, pb, train=False, rngs={"shuffle": jax.random.PRNGKey(3)})
+    assert out.feat.shape == (384, 16)
+    assert np.isfinite(np.asarray(out.feat)[np.asarray(out.mask)]).all()
