@@ -17,6 +17,8 @@ sync_bn = False  # BN stats psum over mesh when True
 enable_amp = False  # accepted for parity; bf16 policy is per-model
 amp_dtype = "bfloat16"
 empty_cache = False
+enable_wandb = False  # opt-in (no-op without the wandb package / network)
+wandb_project = "pointcept_tpu"
 find_unused_parameters = False  # parity no-op
 
 mix_prob = 0

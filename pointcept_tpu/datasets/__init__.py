@@ -18,3 +18,4 @@ from . import image_transform  # noqa: F401
 from . import image_point  # noqa: F401
 from . import variants  # noqa: F401
 from . import scannet_pair  # noqa: F401
+from . import outdoor_image  # noqa: F401

@@ -109,3 +109,64 @@ class ScanObjectNNDataset(DefaultDataset):
 
     def get_data_name(self, idx):
         return f"{self.split}_{self.data_list[idx % len(self.data_list)]}"
+
+
+@DATASETS.register_module()
+class ScanObjectNNRawDataset(DefaultDataset):
+    """Raw ScanObjectNN object .bin files (reference `scanobjectnn.py:25`).
+
+    Layout: `data_root/<split>/<class>/<obj>.bin` where each file packs
+    [num_points, x y z nx ny nz r g b instance segment] as float32 (auxiliary
+    `*_part.bin` / `*_indices.bin` files are skipped). Coordinates/normals are
+    rotated from the capture frame (y-up) to z-up. The ImagePoint fields are
+    emitted empty so the Concerto-style collate path accepts the samples.
+    """
+
+    # y-up capture frame -> z-up
+    _ROT = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]], np.float32)
+
+    def __init__(self, if_img=True, crop_h=518, crop_w=518, patch_size=14, **kwargs):
+        self.if_img = if_img
+        self.patch_h = crop_h // patch_size
+        self.patch_w = crop_w // patch_size
+        self.patch_size = patch_size
+        super().__init__(**kwargs)
+
+    def get_data_list(self):
+        import glob as _glob
+
+        splits = [self.split] if isinstance(self.split, str) else list(self.split)
+        files = []
+        for split in splits:
+            root = os.path.join(self.data_root, split)
+            found = _glob.glob(os.path.join(root, "*", "*.bin"))
+            files += [
+                p for p in found
+                if not p.endswith("_part.bin") and not p.endswith("_indices.bin")
+            ]
+        return sorted(files)
+
+    def get_data(self, idx):
+        path = self.data_list[idx % len(self.data_list)]
+        raw = np.fromfile(path, dtype=np.float32)
+        n = int(raw[0])
+        body = raw[1:]
+        assert body.size == n * 11, (
+            f"corrupt ScanObjectNN object {path}: {body.size} floats for {n} points"
+        )
+        pts = body.reshape(n, 11)
+        data = dict(
+            coord=np.ascontiguousarray(pts[:, :3] @ self._ROT.T, np.float32),
+            normal=np.ascontiguousarray(pts[:, 3:6] @ self._ROT.T, np.float32),
+            color=pts[:, 6:9].astype(np.float32),
+            instance=pts[:, 9].astype(np.int32),
+            segment=pts[:, 10].astype(np.int32),
+            name=os.path.splitext(os.path.basename(path))[0],
+        )
+        if self.if_img:
+            h = self.patch_h * self.patch_size
+            w = self.patch_w * self.patch_size
+            data["images"] = np.zeros((0, 3, h, w), np.float32)
+            data["img_num"] = np.array([0], np.int32)
+            data["correspondence"] = np.full((n, 0, 2), -1.0, np.float32)
+        return data

@@ -74,16 +74,36 @@ class InformationWriter(HookBase):
         self.model_output_keys = []
 
     def before_train(self):
-        # rank-0 TensorBoard writer (reference train.py:269-282; wandb needs
-        # network egress and stays opt-in/no-op offline)
+        # rank-0 TensorBoard + optional wandb writers (reference
+        # train.py:269-282). wandb is opt-in (cfg.enable_wandb) and degrades
+        # to a no-op when the package or network is unavailable.
         self.trainer.writer = None
-        if comm.is_main_process() and self.trainer.cfg.get("enable_tensorboard", True):
+        self.trainer.wandb_run = None
+        if not comm.is_main_process():
+            return
+        if self.trainer.cfg.get("enable_tensorboard", True):
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self.trainer.writer = SummaryWriter(self.trainer.cfg.save_path)
             except Exception:
                 self.trainer.writer = None
+        if self.trainer.cfg.get("enable_wandb", False):
+            try:
+                import wandb
+
+                cfg = self.trainer.cfg
+                self.trainer.wandb_run = wandb.init(
+                    project=cfg.get("wandb_project", "pointcept_tpu"),
+                    name=os.path.basename(cfg.save_path.rstrip("/")),
+                    dir=cfg.save_path,
+                    config=dict(cfg),
+                    resume="allow",
+                    id=cfg.get("wandb_id"),
+                )
+            except Exception as e:
+                self.trainer.logger.warning(f"wandb disabled: {e}")
+                self.trainer.wandb_run = None
 
     def before_step(self):
         self.curr_iter += 1
@@ -109,6 +129,10 @@ class InformationWriter(HookBase):
             self.trainer.writer.add_scalar("lr", lr, self.curr_iter)
             for key, value in metrics.items():
                 self.trainer.writer.add_scalar(f"train_batch/{key}", float(value), self.curr_iter)
+        if getattr(self.trainer, "wandb_run", None) is not None:
+            log = {"lr": lr}
+            log.update({f"train_batch/{k}": float(v) for k, v in metrics.items()})
+            self.trainer.wandb_run.log(log, step=self.curr_iter)
         self.trainer.storage.step()
 
 

@@ -326,12 +326,14 @@ class SerializedPooling(nn.Module):
         # TPU scatters serialize, so everything routes through gathers and one
         # compaction sort.
         cl_sorted = jnp.where(valid_sorted & (cluster_sorted < m), cluster_sorted, m)
-        # clusters beyond out_capacity vanish from the pooled stage; surface
-        # the dropped-point count so capacity mis-sizing is visible in metrics
-        self.sow(
-            "diagnostics", "pool_overflow",
-            jnp.sum((valid_sorted & (cluster_sorted >= m)).astype(jnp.int32)),
-        )
+        if self.is_mutable_collection("diagnostics"):
+            # clusters beyond out_capacity vanish from the pooled stage;
+            # surface the dropped-point count so capacity mis-sizing is
+            # visible in metrics (opt-in: eval graph unchanged)
+            self.sow(
+                "diagnostics", "pool_overflow",
+                jnp.sum((valid_sorted & (cluster_sorted >= m)).astype(jnp.int32)),
+            )
         cluster_of_point = (
             cl_sorted if identity_order0 else jnp.take(cl_sorted, inverse0, axis=0)
         )
@@ -637,15 +639,18 @@ class PointTransformerV3(nn.Module):
             # order index 0 is the config's first order unless shuffling is
             # active (then it could be any curve -> tables re-sort by z inside)
             curve_is_z = (not shuffle_active) and orders[0] == "z"
+            diag = self.is_mutable_collection("diagnostics")
             t = build_block_tables(
                 pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
                 pb.serialized_depth, m, inverse0=pb.serialized_inverse[0],
                 curve_is_z=curve_is_z,
                 identity_order0=curve_is_z and ident0(stage),
+                count_overflow=diag,
             )
-            # points in overflowed blocks get zero conv output; surface the
-            # count so capacity mis-sizing on new data is visible in metrics
-            self.sow("diagnostics", "block_overflow", t["overflow"])
+            if diag:
+                # points in overflowed blocks get zero conv output; surface the
+                # count so capacity mis-sizing on new data is visible in metrics
+                self.sow("diagnostics", "block_overflow", t["overflow"])
             return t
 
         # stage 0 stem (k5): block tables serve every kernel size at a stage;

@@ -57,6 +57,7 @@ def build_block_tables(
     inverse0: Optional[jnp.ndarray] = None,
     curve_is_z: bool = True,
     identity_order0: bool = False,
+    count_overflow: bool = False,
 ) -> dict:
     """In-graph block structure from the existing serialization.
 
@@ -179,7 +180,7 @@ def build_block_tables(
     rl_sorted = jnp.take(rl_lut, mlocal_sorted, axis=0)
     rc_sorted = jnp.where(rank_ok, rank_sorted * b3 + rl_sorted, -1)
 
-    return dict(
+    out = dict(
         slot=slot.astype(jnp.int32),
         order0=order0,
         inverse0=inverse0,
@@ -188,10 +189,13 @@ def build_block_tables(
         block_grid=block_grid,
         fill_start=start.astype(jnp.int32),
         rc_sorted=rc_sorted.astype(jnp.int32),
-        # valid points whose block fell beyond block_capacity: these receive
-        # zero conv output — must be observed, not silent (one scalar reduce)
-        overflow=jnp.sum((valid_sorted & ~rank_ok).astype(jnp.int32)),
     )
+    if count_overflow:
+        # valid points whose block fell beyond block_capacity: these receive
+        # zero conv output — must be observed, not silent (one scalar reduce).
+        # Opt-in so the eval graph (and its compile cache) is unchanged.
+        out["overflow"] = jnp.sum((valid_sorted & ~rank_ok).astype(jnp.int32))
+    return out
 
 
 def _raster_of_morton_lut(block_bits: int) -> np.ndarray:

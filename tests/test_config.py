@@ -6,6 +6,8 @@ import pytest
 from pointcept_tpu.utils.config import Config, ConfigDict, DictAction
 from pointcept_tpu.utils.registry import Registry
 
+pytestmark = pytest.mark.quick
+
 
 def _write(tmp_path, name, text):
     p = tmp_path / name

@@ -16,6 +16,8 @@ from pointcept_tpu.datasets.transform import TRANSFORMS
 from pointcept_tpu.models import MODELS, build_model
 from pointcept_tpu.utils.config import Config
 
+pytestmark = pytest.mark.quick
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALL_CONFIGS = sorted(
     p for p in glob.glob(os.path.join(REPO, "configs", "**", "*.py"), recursive=True)

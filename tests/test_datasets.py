@@ -10,6 +10,8 @@ from pointcept_tpu.datasets import (
 )
 from pointcept_tpu.datasets.transform import GridSample, TRANSFORMS
 
+pytestmark = pytest.mark.quick
+
 
 def scene(n=1000, seed=0):
     rng = np.random.RandomState(seed)
@@ -479,3 +481,65 @@ def test_arkitscenes_vertex_normals():
     n = vertex_normals(coord, faces)
     np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
     np.testing.assert_allclose(n[:, :2], 0.0, atol=1e-6)
+
+
+def test_kitti_image_point_dataset(tmp_path):
+    """SemanticKITTIImagePointDataset: projection correspondences from a
+    synthesized sequence (velodyne bin + calib + stereo images)."""
+    from PIL import Image
+
+    seq = tmp_path / "dataset" / "sequences" / "08"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "image_2").mkdir()
+    rng = np.random.RandomState(0)
+    # points in front of the camera (KITTI: x forward, cam z = x)
+    pts = np.concatenate(
+        [rng.rand(200, 1) * 20 + 2, rng.randn(200, 1) * 2, rng.randn(200, 1) * 0.5,
+         rng.rand(200, 1)], axis=1,
+    ).astype(np.float32)
+    pts.tofile(seq / "velodyne" / "000000.bin")
+    Image.fromarray(np.zeros((370, 1226, 3), np.uint8)).save(seq / "image_2" / "000000.png")
+    fx = 700.0
+    p2 = np.array([[fx, 0, 613, 0], [0, fx, 185, 0], [0, 0, 1, 0]])
+    tr = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0]], float)  # velo->cam
+    with open(seq / "calib.txt", "w") as f:
+        f.write("P2: " + " ".join(str(x) for x in p2.reshape(-1)) + "\n")
+        f.write("Tr: " + " ".join(str(x) for x in tr.reshape(-1)) + "\n")
+
+    ds = build_dataset(dict(
+        type="SemanticKITTIImagePointDataset",
+        split="val",
+        data_root=str(tmp_path),
+        crop_h=70, crop_w=126, patch_size=14,
+        transform=[dict(type="Collect", keys=("coord", "segment", "correspondence"), feat_keys=("coord", "strength"))],
+    ))
+    assert len(ds) == 1
+    out = ds[0]
+    corr = out["correspondence"]
+    assert corr.shape[0] == 200 and corr.shape[2] == 2
+    visible = (corr[:, 0, 0] >= 0).sum()
+    assert visible > 50  # forward points project into image 2
+
+
+def test_scanobjectnn_raw_dataset(tmp_path):
+    root = tmp_path / "train" / "chair"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(1)
+    n = 128
+    body = np.concatenate([
+        rng.randn(n, 3), rng.randn(n, 3), rng.rand(n, 3) * 255,
+        rng.randint(0, 4, (n, 1)), rng.randint(0, 10, (n, 1)),
+    ], axis=1).astype(np.float32)
+    np.concatenate([[np.float32(n)], body.reshape(-1)]).astype(np.float32).tofile(
+        root / "005_00001.bin"
+    )
+    # auxiliary files must be skipped
+    np.zeros(3, np.float32).tofile(root / "005_00001_part.bin")
+    ds = build_dataset(dict(
+        type="ScanObjectNNRawDataset", split="train", data_root=str(tmp_path),
+        transform=[dict(type="Collect", keys=("coord", "segment"), feat_keys=("color", "normal"))],
+    ))
+    assert len(ds) == 1
+    out = ds[0]
+    assert out["coord"].shape == (n, 3)
+    assert out["feat"].shape == (n, 6)

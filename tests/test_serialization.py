@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from pointcept_tpu.ops import serialization as ser
 
+pytestmark = pytest.mark.quick
+
 GOLDEN = np.load(osp.join(osp.dirname(__file__), "golden", "serialization_golden.npz"))
 
 

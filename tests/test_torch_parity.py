@@ -19,6 +19,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.quick
+
 REF_LOVASZ = "/root/reference/pointcept/models/losses/lovasz.py"
 
 
