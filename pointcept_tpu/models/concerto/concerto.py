@@ -45,6 +45,11 @@ class Concerto(Sonata):
     enc2d_loss_weight: float = 2 / 10
     enc2d_cos_shift: bool = True
     full_cast_channels: int = 0  # channel count of the full-resolution up-cast
+    # number of up-casts from the bottleneck for the enc2d branch; None = the
+    # full chain (full resolution). Utonia sets 3 (of 4): the branch then reads
+    # stage-1 features with the correspondences POOLED through the remaining
+    # cluster level (reference `utonia_v1m1_base.py:531-576` pool_corr)
+    enc2d_upcast_level: Optional[int] = None
 
     ema_pairs = dict(Sonata.ema_pairs)
 
@@ -61,24 +66,50 @@ class Concerto(Sonata):
         if feature2d is None or corr is None:
             return
 
-        # full-resolution up-cast of the masked student (enc2d_upcast_level = all)
-        s_full = self.up_cast_full(aux["s_out"], list(aux["s_skips"]))
         g_pb = aux["g_pb"]
+        skips = list(aux["s_skips"])
+        if self.enc2d_upcast_level is None or self.enc2d_upcast_level >= len(skips):
+            # full-resolution up-cast of the masked student
+            s_full = self.up_cast_full(aux["s_out"], skips)
+            lvl_batch, lvl_mask = g_pb.batch, g_pb.mask
+        else:
+            # up-cast only enc2d_upcast_level levels from the bottleneck, then
+            # pool the full-res correspondences through the remaining cluster
+            # chain (reference pool_corr, utonia_v1m1_base.py:531-576)
+            s_full = aux["s_out"]
+            feat = s_full.feat
+            for _ in range(self.enc2d_upcast_level):
+                skip_pb, cluster, _ctx = skips.pop()
+                m = feat.shape[0]
+                up = feat[jnp.minimum(cluster, m - 1)]
+                up = jnp.where((cluster < m)[:, None], up, 0)
+                feat = jnp.concatenate([skip_pb.feat, up], axis=-1)
+                s_full = skip_pb.replace(feat=feat)
+            for i, (skip_pb, cluster, _ctx) in enumerate(skips):  # full-res first
+                out_size = (
+                    skips[i + 1][0].feat.shape[0] if i + 1 < len(skips)
+                    else s_full.feat.shape[0]
+                )
+                corr = self._pool_corr_once(corr, cluster, out_size)
+            lvl_batch, lvl_mask = s_full.batch, s_full.mask
+        num_g_scenes = g_pb.num_scenes
 
         # principal global view only (reference enc2d_mask, :761-776)
-        principal = (g_pb.batch % self.num_global_view == 0) & g_pb.mask
+        principal = (lvl_batch % self.num_global_view == 0) & lvl_mask
         n = s_full.feat.shape[0]
         ph, pw = self.patch_h, self.patch_w
         ppi = ph * pw
-        scene = jnp.maximum(g_pb.batch // self.num_global_view, 0)
+        scene = jnp.maximum(lvl_batch // self.num_global_view, 0)
 
-        num_slots = g_pb.num_scenes // self.num_global_view * self.max_images * ppi
+        num_slots = num_g_scenes // self.num_global_view * self.max_images * ppi
         total_pairs_feat = []
         total_pairs_slot = []
         total_pairs_valid = []
         for v in range(self.max_images):
             cv = corr[:, v, :]  # [Ng, 2] = (patch row, patch col)
             valid = principal & (cv[:, 0] >= 0) & (cv[:, 1] >= 0)
+            # pooled correspondences are float means: truncate to patch cells
+            cv = jnp.floor(cv).astype(jnp.int32)
             slot = (
                 (scene * self.max_images + v) * ppi
                 + jnp.clip(cv[:, 0], 0, ph - 1) * pw
@@ -114,6 +145,25 @@ class Concerto(Sonata):
         enc2d_loss = jnp.sum((1.0 - cos) * of) / jnp.maximum(jnp.sum(of), 1.0) * 10.0
         result["enc2d_loss"] = enc2d_loss
         losses.append(enc2d_loss * self.enc2d_loss_weight)
+
+    @staticmethod
+    def _pool_corr_once(corr, cluster, out_size):
+        """Pool [N, V, 2] patch correspondences one cluster level up: mean of
+        the valid entries per cluster, -1 where none (reference pool_corr,
+        `utonia_v1m1_base.py:548-573`)."""
+        v = corr.shape[1]
+        valid = (corr[..., 0] >= 0) & (corr[..., 1] >= 0)  # [N, V]
+        seg = jnp.minimum(cluster, out_size - 1)
+        ok = cluster < out_size
+        cols = []
+        for i in range(v):
+            m_i = valid[:, i] & ok
+            mean = masked_segment_reduce(corr[:, i, :], seg, m_i, out_size, "mean")
+            cnt = masked_segment_reduce(
+                jnp.ones((corr.shape[0], 1)), seg, m_i, out_size, "sum"
+            )[:, 0]
+            cols.append(jnp.where((cnt > 0)[:, None], mean, -1.0))
+        return jnp.stack(cols, axis=1)
 
     def up_cast_full(self, pb, skips):
         """Up-cast concat through the ENTIRE skip chain (full resolution)."""

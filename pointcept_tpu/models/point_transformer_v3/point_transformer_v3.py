@@ -326,7 +326,7 @@ class SerializedPooling(nn.Module):
         # TPU scatters serialize, so everything routes through gathers and one
         # compaction sort.
         cl_sorted = jnp.where(valid_sorted & (cluster_sorted < m), cluster_sorted, m)
-        if self.is_mutable_collection("diagnostics"):
+        if self.is_mutable_collection("diagnostics") and not self.is_initializing():
             # clusters beyond out_capacity vanish from the pooled stage;
             # surface the dropped-point count so capacity mis-sizing is
             # visible in metrics (opt-in: eval graph unchanged)
@@ -639,7 +639,7 @@ class PointTransformerV3(nn.Module):
             # order index 0 is the config's first order unless shuffling is
             # active (then it could be any curve -> tables re-sort by z inside)
             curve_is_z = (not shuffle_active) and orders[0] == "z"
-            diag = self.is_mutable_collection("diagnostics")
+            diag = self.is_mutable_collection("diagnostics") and not self.is_initializing()
             t = build_block_tables(
                 pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
                 pb.serialized_depth, m, inverse0=pb.serialized_inverse[0],

@@ -543,3 +543,109 @@ def test_scanobjectnn_raw_dataset(tmp_path):
     out = ds[0]
     assert out["coord"].shape == (n, 3)
     assert out["feat"].shape == (n, 6)
+
+
+def _write_sens(path, num_frames=3, w=32, h=24):
+    """Synthesize a minimal ScanNet SensorData v4 stream."""
+    import io as _io
+    import struct
+    import zlib
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    intr = np.eye(4, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 20.0
+    intr[0, 2], intr[1, 2] = w / 2, h / 2
+    buf = open(path, "wb")
+    buf.write(struct.pack("I", 4))
+    name = b"synthetic"
+    buf.write(struct.pack("Q", len(name)) + name)
+    for m in (intr, np.eye(4, dtype=np.float32), intr, np.eye(4, dtype=np.float32)):
+        buf.write(m.astype(np.float32).tobytes())
+    buf.write(struct.pack("ii", 2, 1))  # jpeg color, zlib_ushort depth
+    buf.write(struct.pack("IIII", w, h, w, h))
+    buf.write(struct.pack("f", 1000.0))
+    buf.write(struct.pack("Q", num_frames))
+    for i in range(num_frames):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.05 * i  # small shift -> high overlap
+        buf.write(pose.tobytes())
+        buf.write(struct.pack("QQ", 0, 0))
+        img = Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+        jpg = _io.BytesIO()
+        img.save(jpg, format="JPEG")
+        color = jpg.getvalue()
+        depth = (rng.rand(h, w) * 2000 + 500).astype(np.uint16)
+        dz = zlib.compress(depth.tobytes())
+        buf.write(struct.pack("QQ", len(color), len(dz)))
+        buf.write(color)
+        buf.write(dz)
+    buf.close()
+
+
+def test_scannet_pair_extraction(tmp_path):
+    """End-to-end .sens -> pcd npz + overlap.txt -> ScanNetPairDataset."""
+    from pointcept_tpu.datasets.preprocessing.scannet.scannet_pair import process_scene
+
+    scene = tmp_path / "raw" / "scene0000_00"
+    scene.mkdir(parents=True)
+    _write_sens(str(scene / "scene0000_00.sens"), num_frames=3)
+    out = tmp_path / "pairs"
+    n = process_scene(str(scene / "scene0000_00.sens"), str(out), frame_skip=1)
+    assert n == 3
+    overlap = (out / "scene0000_00" / "pcd" / "overlap.txt").read_text().strip().split("\n")
+    assert len(overlap) == 3  # 3 choose 2
+    ratios = [float(l.split()[2]) for l in overlap]
+    assert max(ratios) > 0.3  # nearly-identical frames overlap heavily
+
+    ds = build_dataset(dict(
+        type="ScanNetPairDataset",
+        split="train",
+        data_root=str(out),
+        overlap_threshold=0.3,
+        view1_transform=[],
+        view2_transform=[],
+        transform=[],
+    ))
+    assert len(ds) >= 1
+    sample = ds[0]
+    assert "view1_coord" in sample and "view2_coord" in sample
+
+
+def test_concerto_export_manifest(tmp_path):
+    """Scene tree -> correspondences + manifest -> DefaultImagePointDataset."""
+    from PIL import Image
+
+    from pointcept_tpu.datasets.preprocessing.concerto_export import export
+
+    rng = np.random.RandomState(0)
+    scene = tmp_path / "raw" / "sceneA"
+    (scene / "images").mkdir(parents=True)
+    (scene / "poses").mkdir()
+    n = 300
+    coord = rng.rand(n, 3).astype(np.float32) * 2 - 1
+    coord[:, 2] += 3.0  # in front of the camera
+    np.save(scene / "coord.npy", coord)
+    np.save(scene / "color.npy", (rng.rand(n, 3) * 255).astype(np.float32))
+    intr = np.array([[30.0, 0, 32], [0, 30.0, 24], [0, 0, 1]])
+    np.savetxt(scene / "intrinsic.txt", intr)
+    Image.fromarray(np.zeros((48, 64, 3), np.uint8)).save(scene / "images" / "0.jpg")
+    np.savetxt(scene / "poses" / "0.txt", np.eye(4))
+
+    out = tmp_path / "image_ds"
+    manifest = export(str(tmp_path / "raw"), str(out), split="train")
+    assert "sceneA" in manifest
+    corr = np.load(manifest["sceneA"]["correspondences"][0])
+    assert corr.shape[1] == 3 and corr.shape[0] > 50
+
+    ds = build_dataset(dict(
+        type="DefaultImagePointDataset",
+        split="train",
+        data_root=str(out),
+        crop_h=42, crop_w=56, patch_size=14,
+        transform=[dict(type="Collect", keys=("coord", "segment", "correspondence"), feat_keys=("color",))],
+    ))
+    sample = ds[0]
+    assert sample["correspondence"].shape[0] == n
+    assert (sample["correspondence"][:, 0, 0] >= 0).sum() > 10

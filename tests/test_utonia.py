@@ -1,0 +1,116 @@
+"""Utonia-v1m1 (reference utonia_v1m1_base.py:85-875): grid-unit masks,
+offline (frozen Sonata) vs online teacher, intermediate enc2d level with
+correspondence pooling, staged multi-domain configs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcept_tpu.models import build_model
+from tests.test_sonata import sonata_batch, small_enc_backbone
+
+
+def _utonia_cfg(**over):
+    cfg = dict(
+        type="Utonia-v1m1",
+        backbone=small_enc_backbone(),
+        head_in_channels=56,
+        head_hidden_channels=32,
+        head_embed_channels=16,
+        head_num_prototypes=8,
+        num_global_view=2,
+        num_local_view=4,
+        up_cast_level=2,
+        patch_h=4,
+        patch_w=4,
+        max_images=1,
+        enc2d_in_channels=12,
+        enc2d_loss_weight=0.2,
+        enc2d_upcast_level=1,  # 2 skips in the tiny backbone -> pool one level
+        mask_size_start=5.0,
+        mask_size_base=20.0,
+        mask_size_scale=0.05,  # grid units x grid size (reference :460-462)
+        teacher_custom=dict(drop_path=0.0),
+        sonata_model_type="offline",
+    )
+    cfg.update(over)
+    return cfg
+
+
+def _utonia_data():
+    batch = sonata_batch()
+    ns = batch.pop("num_scenes")
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    from pointcept_tpu.engines.train import make_view_inputs
+
+    data = make_view_inputs(arrays, ns)
+    rng = np.random.RandomState(0)
+    ng = data["global"].capacity
+    corr = rng.randint(0, 4, size=(ng, 1, 2)).astype(np.int32)
+    corr[rng.rand(ng, 1) < 0.5] = -1
+    data["global_correspondence"] = jnp.asarray(corr)
+    data["feature2d"] = jnp.asarray(rng.randn(ns * 1, 16, 12).astype(np.float32))
+    return data, ns
+
+
+def test_utonia_offline_teacher_frozen():
+    model = build_model(_utonia_cfg())
+    pairs = model.ema_pairs
+    assert pairs["teacher_backbone"] is None  # frozen Sonata-loaded teacher
+    assert pairs["teacher_mask_head"] == "mask_head"
+    online = build_model(_utonia_cfg(sonata_model_type="online"))
+    assert online.ema_pairs["teacher_backbone"] == "backbone_module"
+
+
+def test_utonia_multi_domain_train_step():
+    """One synthetic multi-domain step: losses finite, grads flow to the
+    student but NOT to the frozen teacher, enc2d pooled-correspondence branch
+    contributes."""
+    data, ns = _utonia_data()
+    model = build_model(_utonia_cfg())
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2), "shuffle": jax.random.PRNGKey(3)}
+    params = model.init(rngs, data, train=False)
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            p, data, train=True, mutable=["batch_stats"],
+            rngs={"mask": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2),
+                  "shuffle": jax.random.PRNGKey(3)},
+        )
+        return out["loss"], out
+
+    (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for k in ("mask_loss", "roll_mask_loss", "unmask_loss", "enc2d_loss"):
+        assert k in out and np.isfinite(float(out[k])), k
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    student = [np.abs(np.asarray(v)).sum() for kp, v in flat
+               if "backbone_module" in str(kp)]
+    teacher = [np.abs(np.asarray(v)).sum() for kp, v in flat
+               if "teacher_backbone" in str(kp)]
+    assert sum(student) > 0
+    # stop_gradient on the teacher path: all teacher grads identically zero
+    assert sum(teacher) == 0
+    pp = [np.abs(np.asarray(v)).sum() for kp, v in flat if "patch_proj" in str(kp)]
+    assert pp and sum(pp) > 0
+
+
+def test_utonia_stage_configs_parse():
+    """Staged multi-domain pretrain configs exist and build (stage v2 resumes
+    stage v1 weights with the PartialSampledTrainer)."""
+    import os
+
+    from pointcept_tpu.utils.config import Config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p1 = os.path.join(repo, "configs/utonia/pretrain-utonia-v1m1-0-base-stagev1.py")
+    p2 = os.path.join(repo, "configs/utonia/pretrain-utonia-v1m1-0-base-stagev2.py")
+    cfg1 = Config.fromfile(p1)
+    cfg2 = Config.fromfile(p2)
+    assert cfg1.model.type == "Utonia-v1m1"
+    build_model(dict(cfg1.model))
+    assert cfg2.train.type == "PartialSampledTrainer"
+    # stage 2 trains on more domains than stage 1
+    assert len(cfg2.data.train.datasets) > len(cfg1.data.train.datasets)
