@@ -140,6 +140,10 @@ def main():
 
     iters = 30 if on_tpu else 3
     workers = min(4, os.cpu_count() or 4)
+    # BENCH_PROFILE=/path: capture a profiler trace of the steady-state loop
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     # steady-state pipeline: workers prepare scene t+k while the device runs scene t
     with cf.ThreadPoolExecutor(workers) as pool:
         pending = [pool.submit(prepare, i) for i in range(min(workers, iters))]
@@ -152,6 +156,8 @@ def main():
             logits = infer(params, bs, batch)
         jax.block_until_ready(logits)
         elapsed = time.perf_counter() - start
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     scenes_per_sec = iters * num_scenes / elapsed
     print(

@@ -26,6 +26,14 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
+# above this patch size the whole-K backward's [K, K] temporaries risk VMEM
+# overflow; use the chunked recurrence instead
+_BWD_CHUNK_THRESHOLD = 512
+_BWD_CHUNK = 256
+
+
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     q = q_ref[0]  # [K, D]
     k = k_ref[0]
@@ -87,11 +95,65 @@ def _run_fwd(q, k, v, scale):
     )(q, k, v)
 
 
+def _bwd_kernel_chunked(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, chunk):
+    """K-chunked recompute backward for the split layout (see the kmajor
+    chunked kernel for the recurrence); [K, chunk] temporaries instead of
+    five [K, K] blocks."""
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    kk, d = q.shape
+    nchunks = kk // chunk
+
+    def score(j):
+        kj = k_ref[0][j * chunk : (j + 1) * chunk, :]
+        return (
+            jax.lax.dot_general(q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            * scale
+        )
+
+    m = jnp.full((kk, 1), -jnp.inf, jnp.float32)
+    denom = jnp.zeros((kk, 1), jnp.float32)
+    for j in range(nchunks):
+        s = score(j)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        denom = denom * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=-1, keepdims=True)
+        m = m_new
+
+    o = jnp.zeros((kk, d), jnp.float32)
+    for j in range(nchunks):
+        p = jnp.exp(score(j) - m) / denom
+        o = o + jnp.dot(p.astype(q.dtype), v_ref[0][j * chunk : (j + 1) * chunk, :], preferred_element_type=jnp.float32)
+    row = jnp.sum(do * o, axis=-1, keepdims=True)
+
+    dq = jnp.zeros((kk, d), jnp.float32)
+    for j in range(nchunks):
+        sl = slice(j * chunk, (j + 1) * chunk)
+        p = jnp.exp(score(j) - m) / denom
+        vj = v_ref[0][sl, :].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, vj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - row) * scale
+        kj = k_ref[0][sl, :].astype(jnp.float32)
+        dq = dq + jnp.dot(ds, kj, preferred_element_type=jnp.float32)
+        dk_ref[0, sl, :] = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+        dv_ref[0, sl, :] = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
 def _run_bwd(q, k, v, do, scale):
     g, kk, d = q.shape
     spec = pl.BlockSpec((1, kk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    if kk > _BWD_CHUNK_THRESHOLD and kk % _BWD_CHUNK == 0:
+        kernel = functools.partial(_bwd_kernel_chunked, scale=scale, chunk=_BWD_CHUNK)
+        flops = 17 * g * kk * kk * d
+    else:
+        kernel = functools.partial(_bwd_kernel, scale=scale)
+        flops = 11 * g * kk * kk * d
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((g, kk, d), q.dtype),
             jax.ShapeDtypeStruct((g, kk, d), q.dtype),
@@ -102,7 +164,7 @@ def _run_bwd(q, k, v, do, scale):
         out_specs=(spec, spec, spec),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=11 * g * kk * kk * d, bytes_accessed=7 * g * kk * d * 4, transcendentals=g * kk * kk
+            flops=flops, bytes_accessed=7 * g * kk * d * 4, transcendentals=2 * g * kk * kk
         ),
     )(q, k, v, do)
 
@@ -171,6 +233,86 @@ def _bwd_kernel_kmajor(qkv_ref, do_ref, dqkv_ref, *, scale, h, d):
         dqkv_ref[0, :, 2 * c + hh * d : 2 * c + (hh + 1) * d] = dv.astype(dqkv_ref.dtype)
 
 
+def _bwd_kernel_kmajor_chunked(qkv_ref, do_ref, dqkv_ref, *, scale, h, d, chunk):
+    """K-chunked recompute backward: the whole-K kernel holds five [K, K] f32
+    temporaries per head (~20 MB at K=1024) and can overflow VMEM; this
+    variant streams key/value chunks so temporaries are [K, chunk].
+
+    Three passes per head over the chunks (classic flash recurrence):
+      A. online-softmax stats (running max m, denominator);
+      B. recompute p to accumulate o (row term = do·o);
+      C. recompute p for dq/dk/dv.
+    """
+    c = h * d
+    kk = qkv_ref.shape[1]
+    nchunks = kk // chunk
+    for hh in range(h):
+        q = qkv_ref[0][:, hh * d : (hh + 1) * d]
+        do = do_ref[0][:, hh * d : (hh + 1) * d].astype(jnp.float32)
+
+        def score(j):
+            kj = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d][
+                j * chunk : (j + 1) * chunk, :
+            ]
+            return (
+                jax.lax.dot_general(
+                    q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * scale
+            )  # [K, chunk]
+
+        def vchunk(j):
+            return qkv_ref[0][:, 2 * c + hh * d : 2 * c + (hh + 1) * d][
+                j * chunk : (j + 1) * chunk, :
+            ]
+
+        # pass A: running softmax stats
+        m = jnp.full((kk, 1), -jnp.inf, jnp.float32)
+        denom = jnp.zeros((kk, 1), jnp.float32)
+        for j in range(nchunks):
+            s = score(j)
+            mj = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, mj)
+            denom = denom * jnp.exp(m - m_new) + jnp.sum(
+                jnp.exp(s - m_new), axis=-1, keepdims=True
+            )
+            m = m_new
+
+        # pass B: o accumulation -> row = sum_k p*dp = do . o
+        o = jnp.zeros((kk, d), jnp.float32)
+        for j in range(nchunks):
+            p = jnp.exp(score(j) - m) / denom
+            o = o + jnp.dot(
+                p.astype(qkv_ref.dtype), vchunk(j), preferred_element_type=jnp.float32
+            )
+        row = jnp.sum(do * o, axis=-1, keepdims=True)
+
+        # pass C: gradients
+        dq = jnp.zeros((kk, d), jnp.float32)
+        for j in range(nchunks):
+            p = jnp.exp(score(j) - m) / denom  # [K, chunk]
+            vj = vchunk(j).astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do, vj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [K, chunk]
+            ds = p * (dp - row) * scale
+            kj = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d][
+                j * chunk : (j + 1) * chunk, :
+            ].astype(jnp.float32)
+            dq = dq + jnp.dot(ds, kj, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [chunk, D]
+            dv = jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [chunk, D]
+            sl = slice(j * chunk, (j + 1) * chunk)
+            dqkv_ref[0, sl, c + hh * d : c + (hh + 1) * d] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[0, sl, 2 * c + hh * d : 2 * c + (hh + 1) * d] = dv.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hh * d : (hh + 1) * d] = dq.astype(dqkv_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _flash_kmajor(qkv3, scale, h, d):
     return _run_fwd_kmajor(qkv3, scale, h, d)
@@ -206,17 +348,25 @@ def _flash_kmajor_bwd(scale, h, d, res, do):
     c = c3 // 3
     spec_in = pl.BlockSpec((1, kk, c3), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
     spec_do = pl.BlockSpec((1, kk, c), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+    if kk > _BWD_CHUNK_THRESHOLD and kk % _BWD_CHUNK == 0:
+        kernel = functools.partial(
+            _bwd_kernel_kmajor_chunked, scale=scale, h=h, d=d, chunk=_BWD_CHUNK
+        )
+        flops = 17 * np_ * h * kk * kk * d  # ~1.5x recompute of the one-pass bwd
+    else:
+        kernel = functools.partial(_bwd_kernel_kmajor, scale=scale, h=h, d=d)
+        flops = 11 * np_ * h * kk * kk * d
     dqkv = pl.pallas_call(
-        functools.partial(_bwd_kernel_kmajor, scale=scale, h=h, d=d),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((np_, kk, c3), qkv3.dtype),
         grid=(np_,),
         in_specs=[spec_in, spec_do],
         out_specs=spec_in,
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=11 * np_ * h * kk * kk * d,
+            flops=flops,
             bytes_accessed=7 * np_ * kk * c * 2,
-            transcendentals=np_ * h * kk * kk,
+            transcendentals=2 * np_ * h * kk * kk,
         ),
     )(qkv3, do)
     return (dqkv,)
