@@ -282,7 +282,10 @@ _MINK_PRESETS = {
     "MinkUNet14": dict(layers=(1, 1, 1, 1, 1, 1, 1, 1)),
     "MinkUNet18": dict(layers=(2, 2, 2, 2, 2, 2, 2, 2)),
     "MinkUNet34": dict(layers=(2, 3, 4, 6, 2, 2, 2, 2)),
+    # 50/101 use ResNet bottleneck counts; the graph here keeps BasicBlocks
+    # (the reference's own SpUNet rewrite makes the same simplification)
     "MinkUNet50": dict(layers=(2, 3, 4, 6, 2, 2, 2, 2)),
+    "MinkUNet101": dict(layers=(2, 3, 4, 23, 2, 2, 2, 2)),
 }
 _MINK_CHANNELS = {
     "A": (32, 64, 128, 256, 128, 128, 96, 96),

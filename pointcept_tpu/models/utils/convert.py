@@ -109,6 +109,10 @@ def convert_ptv3(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[
         _map_linear(tb, src, f"{tprefix}.attn.proj", f"{fprefix}/attn/proj")
         _map_linear(tb, src, f"{tprefix}.mlp.0.fc1", f"{fprefix}/mlp/fc1")
         _map_linear(tb, src, f"{tprefix}.mlp.0.fc2", f"{fprefix}/mlp/fc2")
+        # v3m2/m3 LayerScale (sonata `:27-40`; identity when absent)
+        for ls in ("ls1", "ls2"):
+            if f"{tprefix}.{ls}.0.gamma" in src:
+                tb.param(f"{fprefix}/{ls}_gamma", src[f"{tprefix}.{ls}.0.gamma"])
 
     handled = set()
     for key in list(src):
@@ -118,6 +122,13 @@ def convert_ptv3(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[
         r = k[len(bp):]
         if r.startswith("embedding.stem.conv"):
             tb.param(f"{out}/embedding/stem_conv/weight", _conv(src[f"{bp}embedding.stem.conv.weight"], 125))
+            handled.add(k)
+        elif r.startswith("embedding.stem.linear"):
+            # v3m2 linear embedding (sonata `:507-540`)
+            _map_linear(tb, src, f"{bp}embedding.stem.linear", f"{out}/embedding/stem_linear")
+            handled.add(k)
+        elif r == "embedding.mask_token":
+            tb.param(f"{out}/embedding/mask_token", src[k])
             handled.add(k)
         elif r.startswith("embedding.stem.norm"):
             _map_bn(tb, src, f"{bp}embedding.stem.norm", f"{out}/embedding/stem_norm")
@@ -328,6 +339,10 @@ def convert_ptv2(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[
 
 CONVERTERS = {
     "PT-v3m1": convert_ptv3,
+    # m2 (sonata: linear embedding, LayerScale, mask token) and m3 (utonia:
+    # +RoPE, which is parameter-free) share m1's module naming
+    "PT-v3m2": convert_ptv3,
+    "PT-v3m3": convert_ptv3,
     "PT-v2m2": convert_ptv2,
     "SpUNet-v1m1": convert_spunet,
     # v1m2 shares v1m1's graph/key names (only BN hyperparams differ)

@@ -240,3 +240,60 @@ def test_convert_ptv2_structure_and_values():
         params["backbone_module"]["enc0_blocks"]["block0"]["attn"]["linear_q"]["kernel"],
         sd["backbone.enc_stages.0.blocks.blocks.0.attn.linear_q.0.weight"].T,
     )
+
+
+def test_convert_ptv3m2_linear_stem_and_layerscale():
+    """v3m2 (sonata) keys: linear embedding, mask token, LayerScale gammas."""
+    rng = np.random.RandomState(3)
+    cfg = small_ptv3_cfg()
+    cfg.update(type="PT-v3m2", layer_scale=1e-5, mask_token=True, enc_mode=True,
+               dec_depths=(), dec_channels=(), dec_num_head=(), dec_patch_size=())
+    model = build_model(cfg)
+    pb = make_batch([50], capacity=64, num_classes=13)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+
+    sd = {}
+    _torch_linear(rng, 6, 16, True, "backbone.embedding.stem.linear", sd)
+    _torch_ln(rng, 16, "backbone.embedding.stem.norm", sd)
+    sd["backbone.embedding.mask_token"] = rng.randn(1, 16).astype(np.float32)
+
+    def torch_block(prefix, c):
+        sd[f"{prefix}.cpe.0.weight"] = rng.randn(3, 3, 3, c, c).astype(np.float32)
+        sd[f"{prefix}.cpe.0.bias"] = rng.randn(c).astype(np.float32)
+        _torch_linear(rng, c, c, True, f"{prefix}.cpe.1", sd)
+        _torch_ln(rng, c, f"{prefix}.cpe.2", sd)
+        _torch_ln(rng, c, f"{prefix}.norm1.0", sd)
+        _torch_ln(rng, c, f"{prefix}.norm2.0", sd)
+        _torch_linear(rng, c, 3 * c, True, f"{prefix}.attn.qkv", sd)
+        _torch_linear(rng, c, c, True, f"{prefix}.attn.proj", sd)
+        _torch_linear(rng, c, 2 * c, True, f"{prefix}.mlp.0.fc1", sd)
+        _torch_linear(rng, 2 * c, c, True, f"{prefix}.mlp.0.fc2", sd)
+        sd[f"{prefix}.ls1.0.gamma"] = rng.rand(c).astype(np.float32)
+        sd[f"{prefix}.ls2.0.gamma"] = rng.rand(c).astype(np.float32)
+
+    for s, c in enumerate((16, 32, 64)):
+        if s > 0:
+            _torch_linear(rng, (16, 32, 64)[s - 1], c, True, f"backbone.enc{s}.down.proj", sd)
+            _torch_bn(rng, c, f"backbone.enc{s}.down.norm.0", sd)
+        torch_block(f"backbone.enc{s}.block0", c)
+
+    params, stats, unmatched = convert_state_dict(sd, "PT-v3m2")
+    assert unmatched == [], unmatched
+
+    def check(src, dst, path=""):
+        count = 0
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k}"
+            if isinstance(v, dict):
+                count += check(v, dst[k], f"{path}/{k}")
+            else:
+                assert np.asarray(dst[k]).shape == v.shape, f"{path}/{k}"
+                count += 1
+        return count
+
+    n = check(params, {"backbone_module": variables["params"]})
+    assert n > 40
+    np.testing.assert_allclose(
+        params["backbone_module"]["enc1_block0"]["ls1_gamma"],
+        sd["backbone.enc1.block0.ls1.0.gamma"],
+    )
