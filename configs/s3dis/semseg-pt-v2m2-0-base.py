@@ -1,0 +1,24 @@
+# (parity: reference configs/s3dis/semseg-pt-v2m2-0-base.py)
+_base_ = ["../scannet/semseg-pt-v2m2-0-base.py"]
+
+point_capacity = 262144
+point_capacity_val = 262144
+
+model = dict(backbone=dict(num_classes=13))
+
+epoch = 3000
+eval_epoch = 100
+
+dataset_type = "S3DISDataset"
+data_root = "data/s3dis"
+
+data = dict(
+    num_classes=13,
+    names=[
+        "ceiling", "floor", "wall", "beam", "column", "window", "door",
+        "table", "chair", "sofa", "bookcase", "board", "clutter",
+    ],
+    train=dict(type=dataset_type, data_root=data_root, split=("Area_1", "Area_2", "Area_3", "Area_4", "Area_6")),
+    val=dict(type=dataset_type, data_root=data_root, split="Area_5"),
+    test=dict(type=dataset_type, data_root=data_root, split="Area_5"),
+)

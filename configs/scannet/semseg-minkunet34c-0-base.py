@@ -1,0 +1,4 @@
+# MinkUNet34C on ScanNet (parity: reference configs/scannet/semseg-minkunet34c-0-base.py)
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+
+model = dict(backbone=dict(type="MinkUNet34C"))

@@ -1,0 +1,10 @@
+# PTv2 m1 (origin: grouped-linear weight encoding, pe_multiplier on)
+# (parity: reference configs/scannet/semseg-pt-v2m1-0-origin.py)
+_base_ = ["./semseg-pt-v2m2-0-base.py"]
+
+model = dict(
+    backbone=dict(
+        type="PT-v2m1",
+        pe_multiplier=True,
+    ),
+)

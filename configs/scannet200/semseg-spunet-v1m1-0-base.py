@@ -1,0 +1,14 @@
+# SpUNet on ScanNet200 (parity: reference configs/scannet200/semseg-spunet-v1m1-0-base.py)
+_base_ = ["../scannet/semseg-spunet-v1m1-0-base.py"]
+
+model = dict(backbone=dict(num_classes=200))
+
+dataset_type = "ScanNet200Dataset"
+
+data = dict(
+    num_classes=200,
+    names=[f"class_{i}" for i in range(200)],  # canonical 200-class list lives in the dataset
+    train=dict(type=dataset_type),
+    val=dict(type=dataset_type),
+    test=dict(type=dataset_type),
+)

@@ -125,6 +125,7 @@ class DefaultClassifier(nn.Module):
     backbone_embed_dim: int = 256
     backbone: Any = None
     criteria: Any = None
+    freeze_backbone: bool = False  # linear probing: stop-gradient on features
 
     def setup(self):
         self.backbone_module = build_model(dict(self.backbone))
@@ -146,6 +147,8 @@ class DefaultClassifier(nn.Module):
         if isinstance(out, tuple):  # enc-mode backbones return (pb, skips)
             out = out[0]
         feat = out.feat if isinstance(out, PointBatch) else out
+        if self.freeze_backbone:
+            feat = jax.lax.stop_gradient(feat)
         mask = out.mask if isinstance(out, PointBatch) else pb.mask
         batch = out.batch if isinstance(out, PointBatch) else pb.batch
         pooled = masked_segment_reduce(
