@@ -107,6 +107,10 @@ def device_collate(samples, num_devices: int, capacity_per_device: int, mix_prob
             from pointcept_tpu.ops import host_geometry as hg
 
             plan = dict(geometry_plan, num_scenes=per)
+            # np.random here is deterministic: the DataLoader seeds every
+            # batch (worker or serial) with cfg.seed + epoch*7919 + batch_idx
+            # before invoking the collate (datasets/loader.py), so shuffle
+            # seeds are reproducible and distinct across workers/batches
             seed = int(np.random.randint(0, 2**62)) if geometry_plan.get("shuffle", True) else 0
             shard.update(hg.geometry_arrays(plan, shard, shuffle_seed=seed))
         shards.append(shard)

@@ -338,10 +338,15 @@ def block_subm_conv(
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )  # [nb, B, B, B, cout]
-    out = out.astype(feat.dtype).reshape(nb * b3, cout)
+    # keep the dense tensor in compute dtype through the take-back: the conv
+    # writes (and the layout copies + row gather move) HALF the bytes; the
+    # f32 upcast happens on the compact [N, Cout] result where it fuses into
+    # the following norm (profiled: f32 conv output cost ~3 ms/conv extra at
+    # full resolution)
+    out = out.reshape(nb * b3, cout)
     # take-back with clamp + mask (appending a trash row would copy `out`)
     safe = jnp.minimum(slot, nb * b3 - 1)
-    res = jnp.where((slot < nb * b3)[:, None], jnp.take(out, safe, axis=0), 0)
+    res = jnp.where((slot < nb * b3)[:, None], jnp.take(out, safe, axis=0), 0).astype(feat.dtype)
     if bias is not None:
         res = res + bias
     return res
