@@ -39,7 +39,7 @@ import numpy as np
 
 from pointcept_tpu.ops import serialization as ser
 from pointcept_tpu.ops.permute import permute_rows
-from pointcept_tpu.ops.sparse_conv import _lex_lower_bound
+from pointcept_tpu.ops.sparse_conv import lex_lookup
 
 # neighbor offsets in C-order over (dx, dy, dz) ∈ {-1,0,1}³ (center included)
 OFFS27 = list(itertools.product((-1, 0, 1), repeat=3))
@@ -131,33 +131,25 @@ def build_block_tables(
     )  # [m, 3] sorted ascending (ranks were assigned in sorted order)
     block_batch = jnp.where(block_valid, block_keys[:, 0], -1)
 
-    # 26 neighbors via lex binary search over the sorted block keys
+    # 26 neighbors via ONE batched sort-merge join over the sorted block keys
+    # (a per-offset binary-search loop costs thousands of tiny op launches —
+    # ~55 ms/scene in the round-2 profile; see sparse_conv.lex_lookup)
     bdepth = depth - bb
     lim = (1 << bdepth) - 1
     kb, khi, klo = block_keys[:, 0], block_keys[:, 1], block_keys[:, 2]
-    cols = []
-    for off in OFFS27:
-        if off == (0, 0, 0):
-            cols.append(jnp.where(block_valid, jnp.arange(m, dtype=jnp.int32), m))
-            continue
-        qg = block_grid + jnp.asarray(off, jnp.int32)[None, :]
-        in_range = jnp.all((qg >= 0) & (qg <= lim), axis=-1) & block_valid
-        q = ser.encode(
-            jnp.clip(qg, 0, lim),
-            jnp.where(in_range, block_batch, ser.BATCH_SENTINEL + 1),
-            bdepth,
-            "z",
-        )
-        pos = _lex_lower_bound(kb, khi, klo, q[:, 0], q[:, 1], q[:, 2])
-        pos_c = jnp.minimum(pos, m - 1)
-        found = (
-            (pos < m)
-            & (kb[pos_c] == q[:, 0])
-            & (khi[pos_c] == q[:, 1])
-            & (klo[pos_c] == q[:, 2])
-        )
-        cols.append(jnp.where(found, pos_c, m).astype(jnp.int32))
-    nbr = jnp.stack(cols, axis=1)  # [m, 27]
+    noncenter = np.asarray([o for o in OFFS27 if o != (0, 0, 0)], np.int32)
+    qg = block_grid[None, :, :] + jnp.asarray(noncenter)[:, None, :]  # [26, m, 3]
+    in_range = jnp.all((qg >= 0) & (qg <= lim), axis=-1) & block_valid[None, :]
+    q = ser.encode(
+        jnp.clip(qg, 0, lim).reshape(-1, 3),
+        jnp.where(in_range, block_batch[None, :], ser.BATCH_SENTINEL + 1).reshape(-1),
+        bdepth,
+        "z",
+    )
+    jpos = lex_lookup(kb, khi, klo, q[:, 0], q[:, 1], q[:, 2]).reshape(26, m)
+    res = jnp.where(jpos >= 0, jpos, m).astype(jnp.int32)
+    self_col = jnp.where(block_valid, jnp.arange(m, dtype=jnp.int32), m)[None, :]
+    nbr = jnp.concatenate([res[:CENTER27], self_col, res[CENTER27:]], axis=0).T  # [m, 27]
 
     # dense slot: raster offset within the block (conv layout, NOT morton)
     gx, gy, gz = grid_coord[:, 0], grid_coord[:, 1], grid_coord[:, 2]

@@ -69,21 +69,19 @@ class SortedVoxelIndex:
 
     def lookup_keys(self, qb: jnp.ndarray, qhi: jnp.ndarray, qlo: jnp.ndarray) -> jnp.ndarray:
         n = self.kb.shape[0]
-        pos = _lex_lower_bound(self.kb, self.hi, self.lo, qb, qhi, qlo)
-        pos_c = jnp.minimum(pos, n - 1)
-        found = (
-            (pos < n)
-            & (self.kb[pos_c] == qb)
-            & (self.hi[pos_c] == qhi)
-            & (self.lo[pos_c] == qlo)
-        )
-        return jnp.where(found, self.point_idx[pos_c], -1)
+        pos = lex_lookup(self.kb, self.hi, self.lo, qb, qhi, qlo)
+        return jnp.where(pos >= 0, self.point_idx[jnp.maximum(pos, 0)], -1)
 
 
 def _lex_lower_bound(kb, khi, klo, qb, qhi, qlo):
     """Vectorized lower_bound over 3-int32 lexicographic keys.
 
     kb/khi/klo: sorted [N]; qb/qhi/qlo: queries [M]; returns [M] int32 positions.
+
+    NOTE: each unrolled step gathers 3 key columns — fine for one-off lookups,
+    but for batched joins prefer `lex_lookup` (sort-merge): the round-2 device
+    profile showed ~55 ms/scene in thousands of tiny per-step fusions when this
+    ran once per kernel offset per stage.
     """
     n = kb.shape[0]
     iters = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
@@ -96,6 +94,47 @@ def _lex_lower_bound(kb, khi, klo, qb, qhi, qlo):
         lo_idx = jnp.where(less, mid + 1, lo_idx)
         hi_idx = jnp.where(less, hi_idx, mid)
     return lo_idx
+
+
+def lex_lookup(kb, khi, klo, qb, qhi, qlo):
+    """Exact-match positions of query key-triples in sorted key-triples.
+
+    Returns [M] int32: position in kb of the matching key, -1 if absent.
+
+    Scatter-free sort-merge join: concat (table, queries), one 4-key sort
+    (table rows tie-break before queries), prefix-cummax carries the last
+    table rank through each equal-key run, a second 1-key sort restores query
+    order. Two sorts + O(1) elementwise passes replace log2(N) gather steps —
+    the fast path for batched joins (all kernel offsets of a stage at once).
+    """
+    nt = kb.shape[0]
+    nq = qb.shape[0]
+    k1 = jnp.concatenate([kb, qb])
+    k2 = jnp.concatenate([khi, qhi])
+    k3 = jnp.concatenate([klo, qlo])
+    isq = jnp.concatenate(
+        [jnp.zeros((nt,), jnp.int32), jnp.ones((nq,), jnp.int32)]
+    )
+    payload = jnp.arange(nt + nq, dtype=jnp.int32)
+    s1, s2, s3, sq, sp = jax.lax.sort((k1, k2, k3, isq, payload), num_keys=4, is_stable=False)
+    pos = jnp.arange(nt + nq, dtype=jnp.int32)
+    is_table = sq == 0
+    # table payloads are 0..nt-1 and kb was sorted, so within the sorted merge
+    # the last-table-row payload IS its position in kb
+    last_rank = jax.lax.cummax(jnp.where(is_table, sp, -1))
+    last_tpos = jax.lax.cummax(jnp.where(is_table, pos, -1))
+    new_run = jnp.concatenate(
+        [
+            jnp.array([True]),
+            (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1]),
+        ]
+    )
+    run_start = jax.lax.cummax(jnp.where(new_run, pos, -1))
+    matched = (~is_table) & (last_tpos >= run_start) & (last_rank >= 0)
+    res_sorted = jnp.where(matched, last_rank, -1)
+    # restore original order (payload ascending: table rows first, then queries)
+    _, res = jax.lax.sort((sp, res_sorted), num_keys=1, is_stable=False)
+    return res[nt:]
 
 
 def build_subm_neighbor_map(
@@ -124,22 +163,26 @@ def build_subm_neighbor_map(
 
 
 def _build_subm_neighbor_map_bsearch(grid_coord, key_batch, mask, depth, kernel_size, dilation=1):
+    """All k^3-1 offsets join in ONE batched lookup (one sort-merge) — a
+    per-offset loop costs thousands of tiny op launches (see lex_lookup)."""
     index = SortedVoxelIndex.build(grid_coord, key_batch, depth)
-    offs = kernel_offsets(kernel_size, dilation)
-    qb = jnp.where(mask, key_batch, QUERY_VOID)
-    cols = []
+    offs_np = kernel_offsets(kernel_size, dilation)
+    center = int(np.where((offs_np == 0).all(axis=1))[0][0])
+    noncenter = np.concatenate([offs_np[:center], offs_np[center + 1 :]])
+    n = grid_coord.shape[0]
     lim = (1 << depth) - 1
-    for o in offs:
-        if (o == 0).all():
-            n = grid_coord.shape[0]
-            cols.append(jnp.where(mask, jnp.arange(n, dtype=jnp.int32), -1))
-            continue
-        qg = grid_coord + jnp.asarray(o)[None, :]
-        in_range = jnp.all((qg >= 0) & (qg <= lim), axis=-1)
-        qg = jnp.clip(qg, 0, lim)
-        res = index.lookup(qg, jnp.where(in_range, qb, QUERY_VOID))
-        cols.append(res)
-    return jnp.stack(cols, axis=1)
+    qb = jnp.where(mask, key_batch, QUERY_VOID)
+
+    qg = grid_coord[None, :, :] + jnp.asarray(noncenter, jnp.int32)[:, None, :]  # [K-1, N, 3]
+    in_range = jnp.all((qg >= 0) & (qg <= lim), axis=-1)
+    qg = jnp.clip(qg, 0, lim)
+    qbt = jnp.where(in_range, qb[None, :], QUERY_VOID)
+    res = index.lookup(qg.reshape(-1, 3), qbt.reshape(-1)).reshape(len(noncenter), n)
+
+    self_col = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), -1)
+    return jnp.concatenate(
+        [res[:center], self_col[None, :], res[center:]], axis=0
+    ).T
 
 
 def _build_subm_neighbor_map_sortmerge(grid_coord, key_batch, mask, depth, kernel_size, dilation=1):
