@@ -64,6 +64,22 @@ class TreeBuilder:
 
 
 def _map_bn(tb: TreeBuilder, src: dict, torch_prefix: str, flax_path: str):
+    if (
+        f"{torch_prefix}.bns.0.weight" in src
+        or f"{torch_prefix}.bns.0.running_mean" in src
+    ):
+        # PDBatchNorm (v1m3 PDNorm variants, `spconv_unet_v1m3_pdnorm.py:25`):
+        # per-condition BN list + optional adaptive modulation Linear
+        i = 0
+        while (
+            f"{torch_prefix}.bns.{i}.weight" in src
+            or f"{torch_prefix}.bns.{i}.running_mean" in src
+        ):
+            _map_bn(tb, src, f"{torch_prefix}.bns.{i}", f"{flax_path}/norm{i}")
+            i += 1
+        if f"{torch_prefix}.modulation.1.weight" in src:
+            _map_linear(tb, src, f"{torch_prefix}.modulation.1", f"{flax_path}/modulation")
+        return
     if f"{torch_prefix}.weight" in src:
         tb.param(f"{flax_path}/scale", src[f"{torch_prefix}.weight"])
         tb.param(f"{flax_path}/bias", src[f"{torch_prefix}.bias"])
@@ -345,8 +361,10 @@ CONVERTERS = {
     "PT-v3m3": convert_ptv3,
     "PT-v2m2": convert_ptv2,
     "SpUNet-v1m1": convert_spunet,
-    # v1m2 shares v1m1's graph/key names (only BN hyperparams differ)
+    # v1m2 shares v1m1's graph/key names (only BN hyperparams differ); v1m3's
+    # PDBatchNorm lists are expanded by _map_bn
     "SpUNet-v1m2": convert_spunet,
+    "SpUNet-v1m3": convert_spunet,
 }
 # MinkUNet variants are SpUNet-graph presets (models/sparse_unet/spconv_unet.py)
 for _n in ("MinkUNet14", "MinkUNet18", "MinkUNet34", "MinkUNet50"):

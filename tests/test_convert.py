@@ -297,3 +297,24 @@ def test_convert_ptv3m2_linear_stem_and_layerscale():
         params["backbone_module"]["enc1_block0"]["ls1_gamma"],
         sd["backbone.enc1.block0.ls1.0.gamma"],
     )
+
+
+def test_convert_spunet_v1m3_pdnorm():
+    """v1m3 PDBatchNorm keys (`.bns.{i}` + `.modulation.1`) expand onto our
+    PDNorm tree (norm{i} + modulation)."""
+    rng = np.random.RandomState(4)
+    sd = {}
+    for i in range(3):
+        _torch_bn(rng, 8, f"conv_input.1.bns.{i}", sd)
+    _torch_linear(rng, 256, 16, True, "conv_input.1.modulation.1", sd)
+    sd["conv_input.0.weight"] = rng.randn(5, 5, 5, 6, 8).astype(np.float32)
+    params, stats, unmatched = convert_state_dict(sd, "SpUNet-v1m3", backbone_prefix="")
+    assert unmatched == [], unmatched
+    sn = params["backbone_module"]["stem_norm"]
+    for i in range(3):
+        assert "scale" in sn[f"norm{i}"]
+        np.testing.assert_allclose(
+            stats["backbone_module"]["stem_norm"][f"norm{i}"]["mean"],
+            sd[f"conv_input.1.bns.{i}.running_mean"],
+        )
+    assert sn["modulation"]["kernel"].shape == (256, 16)
