@@ -273,3 +273,73 @@ def test_smooth_ce_vs_torch(rng):
     ours = build_criteria([dict(type="SmoothCELoss", smoothing_ratio=eps, loss_weight=1.0)])
     j = float(ours(jnp.asarray(logits), jnp.asarray(target.astype(np.int32))))
     np.testing.assert_allclose(j, ref, atol=1e-5, rtol=1e-5)
+
+
+# ------------------------------------------------- PTv2 vector attention
+
+
+def test_ptv2_grouped_vector_attention_vs_torch_oracle(rng):
+    """Our GroupedVectorAttention vs a pure-torch re-execution of the
+    reference math (`point_transformer_v2m2_base.py:48-129`): q/k/v linears
+    with PointBatchNorm(ReLU) on q/k, pe_bias MLP on relative positions,
+    weight-encoding MLP -> per-neighbor softmax over groups -> grouped sum.
+    Same weights on both sides; eval mode (BN uses running stats)."""
+    from pointcept_tpu.models.point_transformer_v2.point_transformer_v2 import (
+        GroupedVectorAttention,
+    )
+
+    n, c, g, k = 60, 16, 4, 8
+    feat = rng.randn(n, c).astype(np.float32)
+    coord = rng.rand(n, 3).astype(np.float32)
+    # shared neighbor indices (the reference gets them from CUDA kNN; parity
+    # here is about the attention math, so both sides consume the same idx)
+    idx = np.stack([rng.permutation(n)[:k] for _ in range(n)]).astype(np.int32)
+
+    mod = GroupedVectorAttention(embed_channels=c, groups=g, qkv_bias=True, pe_bias=True)
+    variables = mod.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(feat), jnp.asarray(coord),
+        jnp.asarray(idx), jnp.ones((n,), bool), False,
+    )
+    out_j = np.asarray(
+        mod.apply(variables, jnp.asarray(feat), jnp.asarray(coord), jnp.asarray(idx),
+                  jnp.ones((n,), bool), False)
+    )
+
+    p = variables["params"]
+    bs = variables["batch_stats"]
+
+    def lin(name, x):
+        w = torch.from_numpy(np.asarray(p[name]["kernel"]))
+        out = x @ w
+        if "bias" in p[name]:
+            out = out + torch.from_numpy(np.asarray(p[name]["bias"]))
+        return out
+
+    def pbn(name, x):
+        stats = bs[name]["bn"]
+        prm = p[name]["bn"]
+        mean = torch.from_numpy(np.asarray(stats["mean"]))
+        var = torch.from_numpy(np.asarray(stats["var"]))
+        y = (x - mean) / torch.sqrt(var + 1e-5)
+        return y * torch.from_numpy(np.asarray(prm["scale"])) + torch.from_numpy(
+            np.asarray(prm["bias"])
+        )
+
+    ft = torch.from_numpy(feat)
+    ct = torch.from_numpy(coord)
+    it = torch.from_numpy(idx.astype(np.int64))
+    q = torch.relu(pbn("q_norm", lin("linear_q", ft)))
+    key = torch.relu(pbn("k_norm", lin("linear_k", ft)))
+    v = lin("linear_v", ft)
+    key_g = key[it]  # [N, K, C]
+    v_g = v[it]
+    pos = ct[it] - ct[:, None, :]
+    relation = key_g - q[:, None, :]
+    peb = lin("peb_fc2", torch.relu(pbn("peb_norm", lin("peb_fc1", pos))))
+    relation = relation + peb
+    v_g = v_g + peb
+    w = lin("we_fc2", torch.relu(pbn("we_norm", lin("we_fc1", relation))))  # [N, K, G]
+    w = torch.softmax(w, dim=1)
+    v_g = v_g.reshape(n, k, g, c // g)
+    out_t = torch.einsum("nkgi,nkg->ngi", v_g, w).reshape(n, c).numpy()
+    np.testing.assert_allclose(out_j, out_t, atol=2e-5, rtol=1e-4)
