@@ -32,6 +32,13 @@ _BWD_CHUNK_THRESHOLD = 512
 _BWD_CHUNK = 256
 
 
+def _bwd_compiler_params():
+    # the chunked backward's unrolled per-head temporaries exceed the
+    # conservative 16 MB default scoped-vmem limit at C=128 (measured 23.8 MB
+    # on v5e, which has far more physical VMEM); raise the cap for bwd only
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
@@ -163,6 +170,7 @@ def _run_bwd(q, k, v, do, scale):
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         interpret=_use_interpret(),
+        compiler_params=_bwd_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=7 * g * kk * d * 4, transcendentals=2 * g * kk * kk
         ),
@@ -363,6 +371,7 @@ def _flash_kmajor_bwd(scale, h, d, res, do):
         in_specs=[spec_in, spec_do],
         out_specs=spec_in,
         interpret=_use_interpret(),
+        compiler_params=_bwd_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=7 * np_ * kk * c * 2,
