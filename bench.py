@@ -125,8 +125,14 @@ def main():
         return jax.device_put(scene_arrays[seed % n_distinct], dev)
 
     example = prepare(0)
-    pb = make_point_batch({k: jnp.asarray(v) for k, v in example.items()}, num_scenes)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+    # jit the init: eager init dispatches thousands of tiny ops through the
+    # remote tunnel (each a separate compile+RPC) and has been observed to
+    # wedge the client session entirely; one jitted graph compiles once and
+    # hits the persistent cache afterwards
+    jinit = jax.jit(
+        lambda rngs, arrays: model.init(rngs, make_point_batch(arrays, num_scenes), train=False)
+    )
+    variables = jax.block_until_ready(jinit({"params": jax.random.PRNGKey(0)}, example))
 
     @jax.jit
     def infer(params, batch_stats, arrays):

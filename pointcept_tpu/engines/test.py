@@ -96,7 +96,9 @@ class TesterBase:
         pb = make_point_batch(
             {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}, 1
         )
-        variables = self.model.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+        variables = jax.jit(lambda r, x: self.model.init(r, x, train=False))(
+            {"params": jax.random.PRNGKey(0)}, pb
+        )
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],

@@ -462,7 +462,9 @@ class Trainer(TrainerBase):
             "dropout": jax.random.PRNGKey(self.cfg.seed + 2),
             "mask": jax.random.PRNGKey(self.cfg.seed + 3),
         }
-        variables = self.model.init(rngs, inputs, train=False)
+        # jitted: eager init dispatches thousands of tiny ops (slow, and has
+        # wedged remote-device client sessions); one graph, persistently cached
+        variables = jax.jit(lambda r, x: self.model.init(r, x, train=False))(rngs, inputs)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
