@@ -549,7 +549,7 @@ class PointTransformerV3(nn.Module):
     # sparse-conv engine for stem/xCPE: "block" = dense z-order blocks
     # (ops/block_conv.py, fastest on TPU), "gather" = neighbor-map gather-GEMM
     conv_engine: str = "gather"
-    block_capacity_factor: float = 1.0 / 16.0
+    block_capacity_factor: Any = 1.0 / 16.0  # float or per-stage tuple
     # physically pin the batch to z-order after serialization: order 0 becomes
     # the identity so fills/attention/pooling need no per-point gathers
     sorted_layout: bool = True
@@ -635,7 +635,13 @@ class PointTransformerV3(nn.Module):
         use_block = self.conv_engine == "block" and geo is None
 
         def block_tables(pb, stage):
-            m = default_block_capacity(pb.capacity, self.block_capacity_factor)
+            # scalar factor, or per-stage tuple (deeper stages hold far fewer
+            # occupied blocks per point: pooled clusters spread over the SAME
+            # spatial extent, so occupancy per 8^3 block rises ~2x per stage)
+            f = self.block_capacity_factor
+            if isinstance(f, (tuple, list)):
+                f = f[min(stage, len(f) - 1)]
+            m = default_block_capacity(pb.capacity, f)
             # order index 0 is the config's first order unless shuffling is
             # active (then it could be any curve -> tables re-sort by z inside)
             curve_is_z = (not shuffle_active) and orders[0] == "z"

@@ -71,28 +71,28 @@ def patch_attention(
 
         qb = qkv.astype(compute_dtype)
 
-        def fast(_):
-            a = jnp.concatenate([qb, jnp.zeros((p - n, c3), qb.dtype)])
-            # tail-duplication (reference get_padding_and_inverse semantics):
-            # rows [valid_n, valid_n + k) read a[row - k]. One dynamic window
-            # copy — profiled ~1.5 ms/block cheaper than building a rolled
-            # copy and selecting the full stream. Rows beyond valid_n + k are
-            # garbage either way (their patches are discarded downstream);
-            # p >= n + k guarantees the update window stays in bounds.
-            window = jax.lax.dynamic_slice(
-                a, (jnp.maximum(valid_n - k, 0), 0), (k, c3)
-            )
-            qkv_p = jax.lax.dynamic_update_slice(a, window, (valid_n, 0))
-            out5 = flash_patch_attention_kmajor(qkv_p.reshape(np_, k, 3, h, d), scale=scale)
-            return out5.reshape(p, c)[:n]
-
-        def slow(_):
-            qkv_p = jnp.take(qb, slot_to_point, axis=0)
-            out5 = flash_patch_attention_kmajor(qkv_p.reshape(np_, k, 3, h, d), scale=scale)
-            return jnp.take(out5.reshape(p, c), point_to_slot, axis=0)
-
-        out = jax.lax.cond(valid_n >= k, fast, slow, None)
-        return out.astype(qkv.dtype)
+        # tail-duplication (reference get_padding_and_inverse semantics): rows
+        # [valid_n, valid_n + k) read a[row - k]. One dynamic window copy —
+        # profiled ~1.5 ms/block cheaper than building a rolled copy and
+        # selecting the full stream. Rows beyond valid_n + k are garbage either
+        # way (their patches are discarded downstream); p >= n + k guarantees
+        # the update window stays in bounds.
+        a = jnp.concatenate([qb, jnp.zeros((p - n, c3), qb.dtype)])
+        window = jax.lax.dynamic_slice(a, (jnp.maximum(valid_n - k, 0), 0), (k, c3))
+        qkv_p = jax.lax.dynamic_update_slice(a, window, (valid_n, 0))
+        # valid_n < k (scene smaller than one patch): only patch 0 carries real
+        # points and the window trick above would leak garbage rows into it.
+        # Correct it with a k-row gather + select instead of a lax.cond over
+        # the whole stream — the conditional's operand/result buffer plumbing
+        # cost ~1.7 ms/block at full resolution (profiled), the k-row fix ~30 us.
+        patch0 = jnp.where(
+            valid_n >= k,
+            qkv_p[:k],
+            jnp.take(qb, jnp.clip(slot_to_point[:k], 0, n - 1), axis=0),
+        )
+        qkv_p = jax.lax.dynamic_update_slice(qkv_p, patch0, (0, 0))
+        out5 = flash_patch_attention_kmajor(qkv_p.reshape(np_, k, 3, h, d), scale=scale)
+        return out5.reshape(p, c)[:n].astype(qkv.dtype)
 
     if use_pallas and bias is None and _pallas_available() and k >= 128 and d <= 128 and kmajor_ok:
         # K-major fused path: one bf16 gather, zero transposes — the packed

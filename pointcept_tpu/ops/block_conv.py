@@ -257,14 +257,19 @@ def _slab(a: int, bsz: int, halo: int):
 
 
 def _halo_expand(dense: jnp.ndarray, nbr: jnp.ndarray, halo: int) -> jnp.ndarray:
-    """[nB+1, B, B, B, C] (row nB = zero block) -> [nB, B+2h, B+2h, B+2h, C].
+    """[nB+1, B, B, B, C] (row nB = zero block) -> [nB+1, B+2h, B+2h, B+2h, C].
 
     Exact 27-region assembly: each region is a static slice of the dense tensor
     gathered at the corresponding neighbor rank — diagonal regions read the
     diagonal block directly, so occupancy gaps in face neighbors don't lose
-    contributions."""
+    contributions.
+
+    The trailing zero block is KEPT (its halo row in `nbr` points at itself, so
+    its tile stays all-zero through the conv): slicing it off costs a full copy
+    of the dense tensor (~1.3 ms/conv at full resolution, profiled), while
+    convolving one extra block costs nB⁻¹ extra FLOPs."""
     if halo == 0:
-        return dense[:-1]
+        return dense
     bsz = dense.shape[1]
     pieces_x = []
     for a in (-1, 0, 1):
@@ -277,7 +282,7 @@ def _halo_expand(dense: jnp.ndarray, nbr: jnp.ndarray, halo: int) -> jnp.ndarray
                 z0, z1 = _slab(c, bsz, halo)
                 if (a, b, c) == (0, 0, 0):
                     # center = self: invalid blocks hold zeros anyway, skip the gather
-                    pieces_z.append(dense[:-1])
+                    pieces_z.append(dense)
                     continue
                 k = OFFS27.index((a, b, c))
                 sub = dense[:, x0:x1, y0:y1, z0:z1, :]  # static slice (cheap)
@@ -319,7 +324,11 @@ def block_subm_conv(
     )
     dense = dense.reshape(nb + 1, bsz, bsz, bsz, cin)
 
-    hal = _halo_expand(dense, nbr, halo)  # [nb, B+2h, ..., cin]
+    # the zero block participates as block nb: its neighbors are all nb (itself)
+    # so its tile stays zero through the conv, and the padding/overflow slot
+    # nb*b3 reads a true zero — no trash-slice, no take-back mask
+    nbr_ext = jnp.concatenate([nbr, jnp.full((1, nbr.shape[1]), nb, jnp.int32)], axis=0)
+    hal = _halo_expand(dense, nbr_ext, halo)  # [nb+1, B+2h, ..., cin]
     w = weight.reshape(kernel_size, kernel_size, kernel_size, cin, cout).astype(compute_dtype)
     # bf16 in/out: the TPU conv accumulates f32 internally; keeping operand and
     # output dtypes equal avoids the mixed-dtype conv-VJP limitation
@@ -329,16 +338,15 @@ def block_subm_conv(
         window_strides=(1, 1, 1),
         padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )  # [nb, B, B, B, cout]
+    )  # [nb+1, B, B, B, cout]
     # keep the dense tensor in compute dtype through the take-back: the conv
     # writes (and the layout copies + row gather move) HALF the bytes; the
     # f32 upcast happens on the compact [N, Cout] result where it fuses into
     # the following norm (profiled: f32 conv output cost ~3 ms/conv extra at
     # full resolution)
-    out = out.reshape(nb * b3, cout)
-    # take-back with clamp + mask (appending a trash row would copy `out`)
-    safe = jnp.minimum(slot, nb * b3 - 1)
-    res = jnp.where((slot < nb * b3)[:, None], jnp.take(out, safe, axis=0), 0).astype(feat.dtype)
+    out = out.reshape((nb + 1) * b3, cout)
+    # pure take-back gather: every slot (incl. the nb*b3 trash slot) is in range
+    res = jnp.take(out, slot, axis=0).astype(feat.dtype)
     if bias is not None:
         res = res + bias
     return res
