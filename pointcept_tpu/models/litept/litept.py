@@ -229,7 +229,7 @@ class LitePT(nn.Module):
             dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
             for s in reversed(range(num_stages - 1)):
                 skip_pb, cluster, skip_ctx = skips[s]
-                pb = SerializedUnpooling(out_channels=dec_channels[s], name=f"dec{s}_up")(
+                pb, _ = SerializedUnpooling(out_channels=dec_channels[s], name=f"dec{s}_up")(
                     pb, skip_pb, cluster, train
                 )
                 for i in range(self.dec_depths[s]):

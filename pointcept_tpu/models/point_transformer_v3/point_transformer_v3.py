@@ -226,7 +226,7 @@ class Block(nn.Module):
     rescale_coords: Optional[float] = None
 
     @nn.compact
-    def __call__(self, pb: PointBatch, nbr3, partition, train: bool) -> PointBatch:
+    def __call__(self, pb: PointBatch, nbr3, partition, train: bool, cpe_feat=None) -> PointBatch:
         c = self.channels
         feat = pb.feat
 
@@ -235,8 +235,16 @@ class Block(nn.Module):
                 return x
             gamma = self.param(name, nn.initializers.constant(self.layer_scale), (c,))
             return x * gamma
-        # xCPE residual
-        cpe = SubMConv(c, 27, use_bias=True, name="cpe_conv")(feat, nbr3)
+        # xCPE residual. `cpe_feat` replicates a reference behavior the trained
+        # weights depend on: PointSequential routes spconv modules through
+        # `point.sparse_conv_feat` (reference modules.py:84-105), and
+        # SerializedUnpooling assigns `parent.feat = skip + up` WITHOUT
+        # re-syncing the sparse tensor (ptv3 base :477-479) — so the first
+        # decoder block's cpe conv sees only the proj_skip branch, while the
+        # residual shortcut uses the proper sum.
+        cpe = SubMConv(c, 27, use_bias=True, name="cpe_conv")(
+            feat if cpe_feat is None else cpe_feat, nbr3
+        )
         cpe = nn.Dense(c, kernel_init=conv_kernel_init, name="cpe_linear")(cpe)
         cpe = apply_ln("cpe_norm", self.pd, cpe, train, pb)
         feat = feat + cpe
@@ -473,7 +481,10 @@ class SerializedUnpooling(nn.Module):
         skip = nn.gelu(skip)
         up = jnp.take(x, jnp.minimum(cluster, m - 1), axis=0)
         up = jnp.where((cluster < m)[:, None], up, 0)
-        return skip_pb.replace(feat=skip + up)
+        # second output: the skip branch alone — the reference never syncs the
+        # summed feat into sparse_conv_feat, so the NEXT block's cpe conv reads
+        # this value (see Block.cpe_feat)
+        return skip_pb.replace(feat=skip + up), skip
 
 
 class Embedding(nn.Module):
@@ -550,6 +561,10 @@ class PointTransformerV3(nn.Module):
     # (ops/block_conv.py, fastest on TPU), "gather" = neighbor-map gather-GEMM
     conv_engine: str = "gather"
     block_capacity_factor: Any = 1.0 / 16.0  # float or per-stage tuple
+    # dense-block edge length = 2^block_bits. 8^3 blocks suit dense indoor
+    # scans; 4^3 blocks cut the dense-conv FLOP redundancy ~2.3x at ScanNet
+    # densities (measured 25-28% faster conv chains) at ~3.5x more blocks
+    block_bits: int = 3
     # physically pin the batch to z-order after serialization: order 0 becomes
     # the identity so fills/attention/pooling need no per-point gathers
     sorted_layout: bool = True
@@ -648,7 +663,8 @@ class PointTransformerV3(nn.Module):
             diag = self.is_mutable_collection("diagnostics") and not self.is_initializing()
             t = build_block_tables(
                 pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
-                pb.serialized_depth, m, inverse0=pb.serialized_inverse[0],
+                pb.serialized_depth, m, block_bits=self.block_bits,
+                inverse0=pb.serialized_inverse[0],
                 curve_is_z=curve_is_z,
                 identity_order0=curve_is_z and ident0(stage),
                 count_overflow=diag,
@@ -765,9 +781,9 @@ class PointTransformerV3(nn.Module):
             dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
             for s in reversed(range(num_stages - 1)):
                 skip_pb, cluster, skip_ctx = skips[s]
-                pb = SerializedUnpooling(out_channels=dec_channels[s], pd=pd, name=f"dec{s}_up")(
-                    pb, skip_pb, cluster, train
-                )
+                pb, stale_cpe_feat = SerializedUnpooling(
+                    out_channels=dec_channels[s], pd=pd, name=f"dec{s}_up"
+                )(pb, skip_pb, cluster, train)
                 dp_slice = dec_dp[sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])][::-1]
                 for i in range(self.dec_depths[s]):
                     pb = Block(
@@ -791,7 +807,8 @@ class PointTransformerV3(nn.Module):
                         jitter_coords=self.jitter_coords,
                         rescale_coords=self.rescale_coords,
                         name=f"dec{s}_block{i}",
-                    )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train)
+                    )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train,
+                      cpe_feat=stale_cpe_feat if i == 0 else None)
             if unsort is not None:
                 # restore the caller's point order; serialization state no
                 # longer describes the layout

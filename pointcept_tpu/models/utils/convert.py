@@ -107,7 +107,22 @@ def convert_ptv3(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[
     block = {cpe.0 conv, cpe.1 linear, cpe.2 ln, norm1.0, attn.{qkv,proj},
     norm2.0, mlp.0.{fc1,fc2}}.
     """
-    src = {k: v for k, v in state_dict.items()}
+    # canonicalize: real checkpoints nest stages in PointSequential containers
+    # ("enc.enc0.block0", "dec.dec1.up" — point_transformer_v3m1_base.py:601-697);
+    # torch bookkeeping buffers (num_batches_tracked) carry no weights
+    def _canon(k):
+        if k.startswith(backbone_prefix):
+            r = k[len(backbone_prefix):]
+            r = re.sub(r"^enc\.enc(\d)", r"enc\1", r)
+            r = re.sub(r"^dec\.dec(\d)", r"dec\1", r)
+            return backbone_prefix + r
+        return k
+
+    src = {
+        _canon(k): v
+        for k, v in state_dict.items()
+        if not k.endswith("num_batches_tracked")
+    }
     tb = TreeBuilder()
     unmatched = []
     bp = backbone_prefix

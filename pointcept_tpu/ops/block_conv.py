@@ -177,6 +177,7 @@ def build_block_tables(
         order0=order0,
         inverse0=inverse0,
         identity_order0=identity_order0,
+        block_bits=bb,
         nbr=nbr,
         block_grid=block_grid,
         fill_start=start.astype(jnp.int32),
@@ -232,10 +233,11 @@ def _block_fill_fwd(feat, rc_sorted, starts, slot_order, b3, compute_dtype, iden
 
 
 def _block_fill_bwd(b3, compute_dtype, identity, res, g):
-    # d/dfeat: each valid point occupies exactly one dense slot -> pure gather
-    # (g's trailing b3 rows are the halo zero block: not a real slot)
+    # d/dfeat: each valid point occupies exactly one dense slot -> pure gather.
+    # Valid slots are ranks < m (= starts rows); rows beyond — the trash/zero
+    # tile and grouped-fill padding — are not real slots.
     slot, dtype_witness, rc_sorted, starts = res
-    total = g.shape[0] - b3
+    total = starts.shape[0] * b3
     safe = jnp.minimum(slot, total - 1)
     gf = jnp.where((slot < total)[:, None], jnp.take(g, safe, axis=0), 0).astype(dtype_witness.dtype)
     z1 = np.zeros(rc_sorted.shape, jax.dtypes.float0)
@@ -299,11 +301,13 @@ def block_subm_conv(
     weight: jnp.ndarray,  # [k^3, Cin, Cout] (kernel_offsets C-order)
     bias: Optional[jnp.ndarray] = None,
     kernel_size: int = 3,
-    block_bits: int = 3,
+    block_bits: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Submanifold sparse conv via dense blocks; numerically equivalent to
     ops/sparse_conv.gather_conv over the same inputs (bf16 rounding aside)."""
+    if block_bits is None:
+        block_bits = tables.get("block_bits", 3)
     slot, nbr = tables["slot"], tables["nbr"]
     nb = nbr.shape[0]
     n = slot.shape[0]
@@ -322,12 +326,17 @@ def block_subm_conv(
         (tables["slot"], tables["order0"], tables["inverse0"]), b3, compute_dtype,
         tables.get("identity_order0", False),
     )
-    dense = dense.reshape(nb + 1, bsz, bsz, bsz, cin)
+    # grouped fills emit ceil((nb+1)/G)*G tiles (trailing ones all-zero)
+    nrows = dense.shape[0] // b3
+    dense = dense.reshape(nrows, bsz, bsz, bsz, cin)
 
-    # the zero block participates as block nb: its neighbors are all nb (itself)
-    # so its tile stays zero through the conv, and the padding/overflow slot
-    # nb*b3 reads a true zero — no trash-slice, no take-back mask
-    nbr_ext = jnp.concatenate([nbr, jnp.full((1, nbr.shape[1]), nb, jnp.int32)], axis=0)
+    # the zero block participates as block nb (and any grouped-fill padding
+    # tiles behave the same): neighbors point at nb (itself/zero) so those
+    # tiles stay zero through the conv, and the padding/overflow slot nb*b3
+    # reads a true zero — no trash-slice, no take-back mask
+    nbr_ext = jnp.concatenate(
+        [nbr, jnp.full((nrows - nb, nbr.shape[1]), nb, jnp.int32)], axis=0
+    )
     hal = _halo_expand(dense, nbr_ext, halo)  # [nb+1, B+2h, ..., cin]
     w = weight.reshape(kernel_size, kernel_size, kernel_size, cin, cout).astype(compute_dtype)
     # bf16 in/out: the TPU conv accumulates f32 internally; keeping operand and
@@ -344,7 +353,7 @@ def block_subm_conv(
     # f32 upcast happens on the compact [N, Cout] result where it fuses into
     # the following norm (profiled: f32 conv output cost ~3 ms/conv extra at
     # full resolution)
-    out = out.reshape((nb + 1) * b3, cout)
+    out = out.reshape(nrows * b3, cout)
     # pure take-back gather: every slot (incl. the nb*b3 trash slot) is in range
     res = jnp.take(out, slot, axis=0).astype(feat.dtype)
     if bias is not None:

@@ -48,7 +48,8 @@ def _mixed_scene(rng, cap=2048, depth=9):
 
 
 @pytest.mark.parametrize("kernel", [3, 5])
-def test_block_conv_matches_gather_conv(rng, kernel):
+@pytest.mark.parametrize("block_bits", [2, 3])
+def test_block_conv_matches_gather_conv(rng, kernel, block_bits):
     depth, cap = 9, 2048
     grid, batch = _mixed_scene(rng, cap, depth)
     feat = rng.randn(cap, 16).astype(np.float32)
@@ -63,10 +64,42 @@ def test_block_conv_matches_gather_conv(rng, kernel):
     b = jnp.asarray(rng.randn(8).astype(np.float32))
     # f32 compute: the comparison must be exact (block layout vs gather layout)
     ref = gather_conv(jnp.asarray(feat), nbr, w, b, compute_dtype=jnp.float32)
-    tables = build_block_tables(keys0, order0, gj, mask, depth, cap, 3)
+    tables = build_block_tables(keys0, order0, gj, mask, depth, cap, block_bits)
     got = block_subm_conv(jnp.asarray(feat), tables, w, b, kernel_size=kernel, compute_dtype=jnp.float32)
     m = np.asarray(mask)
     np.testing.assert_allclose(np.asarray(got)[m], np.asarray(ref)[m], rtol=2e-4, atol=2e-4)
+
+
+def test_block_conv_grad_matches_gather_grad(rng):
+    """VJP through the (grouped) fill matches the gather engine's gradient —
+    incl. at block_bits=2 where the fill batches 8 blocks per grid cell."""
+    depth, cap = 9, 1024
+    grid, batch = _mixed_scene(rng, cap, depth)
+    feat = rng.randn(cap, 8).astype(np.float32)
+    gj, bj = jnp.asarray(grid), jnp.asarray(batch)
+    kb = jnp.where(bj >= 0, bj, ser.BATCH_SENTINEL).astype(jnp.int32)
+    mask = bj >= 0
+    keys0 = ser.encode(gj, kb, depth, "z")
+    order0 = ser.argsort_keys(keys0)
+    w = jnp.asarray(rng.randn(27, 8, 4).astype(np.float32) * 0.1)
+    nbr = build_subm_neighbor_map(gj, kb, mask, depth, 3)
+    cot = jnp.asarray(rng.randn(cap, 4).astype(np.float32))
+
+    def loss_ref(f):
+        return jnp.sum(gather_conv(f, nbr, w, None, compute_dtype=jnp.float32) * cot)
+
+    gref = jax.grad(loss_ref)(jnp.asarray(feat))
+    for bb in (2, 3):
+        t = build_block_tables(keys0, order0, gj, mask, depth, cap, bb)
+
+        def loss_blk(f):
+            return jnp.sum(
+                block_subm_conv(f, t, w, None, kernel_size=3, compute_dtype=jnp.float32) * cot
+            )
+
+        gblk = jax.grad(loss_blk)(jnp.asarray(feat))
+        m = np.asarray(mask)
+        np.testing.assert_allclose(np.asarray(gblk)[m], np.asarray(gref)[m], rtol=2e-4, atol=2e-4)
 
 
 def test_block_tables_structure(rng):
