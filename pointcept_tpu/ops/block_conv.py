@@ -288,8 +288,13 @@ def _halo_expand(dense: jnp.ndarray, nbr: jnp.ndarray, halo: int) -> jnp.ndarray
                     continue
                 k = OFFS27.index((a, b, c))
                 sub = dense[:, x0:x1, y0:y1, z0:z1, :]  # static slice (cheap)
-                src = jnp.take(sub, nbr[:, k], axis=0)
-                pieces_z.append(src)
+                # gather FLATTENED rows: a multi-dim row gather lets XLA pick
+                # a block-minor layout whose gather crosses lanes (~6x slower
+                # measured for the k5 stem, exp/stem_variants.py); row-major
+                # [nB, x*y*z*c] keeps it a streaming row gather
+                shp = sub.shape
+                src = jnp.take(sub.reshape(shp[0], -1), nbr[:, k], axis=0)
+                pieces_z.append(src.reshape(shp))
             pieces_y.append(jnp.concatenate(pieces_z, axis=3))
         pieces_x.append(jnp.concatenate(pieces_y, axis=2))
     return jnp.concatenate(pieces_x, axis=1)
