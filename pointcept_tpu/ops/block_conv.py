@@ -358,9 +358,27 @@ def block_subm_conv(
     # f32 upcast happens on the compact [N, Cout] result where it fuses into
     # the following norm (profiled: f32 conv output cost ~3 ms/conv extra at
     # full resolution)
-    out = out.reshape(nrows * b3, cout)
-    # pure take-back gather: every slot (incl. the nb*b3 trash slot) is in range
-    res = jnp.take(out, slot, axis=0).astype(feat.dtype)
+    # take-back gather: every slot (incl. the nb*b3 trash slot) is in range.
+    # For narrow cout, XLA stores the row-gather chain row-minor ({0,1}) to
+    # avoid lane padding, which turns the gather into a 13.7 ms lane-crossing
+    # one (vs 3.8 ms for 64-wide rows, profiled at full res). Folding z-slots
+    # into the row widens it to >=64 lanes — the z-slice is then selected with
+    # a fused one-hot contraction. pin_rowmajor (a fixed-layout Pallas
+    # identity) keeps consumers from flipping the layout back.
+    from pointcept_tpu.ops.pallas.layout_pin import pin_rowmajor
+
+    zfold = 1
+    while cout * zfold < 64 and zfold < bsz and bsz % (zfold * 2) == 0:
+        zfold *= 2
+    if zfold > 1:
+        out4 = out.reshape(nrows * b3 // zfold, zfold * cout)
+        g = pin_rowmajor(jnp.take(out4, slot // zfold, axis=0))
+        sel = jax.nn.one_hot(slot % zfold, zfold, dtype=g.dtype)
+        res = jnp.einsum("nzc,nz->nc", g.reshape(n, zfold, cout), sel)
+    else:
+        out = out.reshape(nrows * b3, cout)
+        res = pin_rowmajor(jnp.take(out, slot, axis=0))
+    res = res.astype(feat.dtype)
     if bias is not None:
         res = res + bias
     return res
