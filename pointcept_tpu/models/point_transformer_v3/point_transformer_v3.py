@@ -304,6 +304,12 @@ class SerializedPooling(nn.Module):
     reduce: str = "max"
     shuffle_orders: bool = True
     pd: PDCfg = None
+    # order names: when given (and orders are unshuffled, i.e. `needed` is not
+    # None), pooled keys are RE-ENCODED from the pooled grid instead of
+    # gathered from the input keys — curve codes are hierarchical
+    # (code >> 3 == parent-cell code, z and hilbert alike), so the values are
+    # identical, but full-res keys need not be carried through the stage
+    orders: Optional[Tuple[str, ...]] = None
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool, shuffle_key=None, pre=None, needed=None,
@@ -315,17 +321,22 @@ class SerializedPooling(nn.Module):
         m = self.out_capacity
         n = pb.capacity
         s = pb.serialized_keys.shape[0]
+        reencode = self.orders is not None and needed is not None
 
         keys0 = pb.serialized_keys[0]
         order0 = pb.serialized_order[0]
         inverse0 = pb.serialized_inverse[0]
-        shifted = jnp.stack([ser.key_shift_right(pb.serialized_keys[i], bits) for i in range(s)])
+        if reencode:
+            shifted0 = ser.key_shift_right(keys0, bits)
+        else:
+            shifted = jnp.stack([ser.key_shift_right(pb.serialized_keys[i], bits) for i in range(s)])
+            shifted0 = shifted[0]
         if identity_order0:
             # sorted-persistent layout: the batch IS in order-0 order
-            sk = shifted[0]
+            sk = shifted0
             valid_sorted = pb.batch >= 0
         else:
-            sk = shifted[0][order0]  # sorted (shift is monotone on sorted codes)
+            sk = shifted0[order0]  # sorted (shift is monotone on sorted codes)
             valid_sorted = pb.batch[order0] >= 0
         prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
         head = valid_sorted & ~prev_eq
@@ -378,16 +389,25 @@ class SerializedPooling(nn.Module):
         if pb.segment is not None:
             seg = jnp.where(head_valid, jnp.take(pb.segment, head_point, axis=0), -1)
 
-        # per-order pooled keys = shifted key of the cluster head point
+        # per-order pooled keys = shifted key of the cluster head point; with
+        # `reencode`, identically re-encoded from the pooled grid (hierarchical
+        # curve codes) for exactly the orders read at the pooled stage
         sentinel_row = jnp.asarray([ser.BATCH_SENTINEL, 0, 0], jnp.int32)
         new_keys = []
         new_order = []
         new_inverse = []
         iota_m = jnp.arange(m, dtype=jnp.int32)
+        kb_m = jnp.where(batch >= 0, batch, ser.BATCH_SENTINEL).astype(jnp.int32)
         for i in range(s):
-            ki = jnp.where(
-                head_valid[:, None], jnp.take(shifted[i], head_point, axis=0), sentinel_row[None, :]
-            )
+            if reencode:
+                if i == 0 or i in needed:
+                    ki = ser.encode(grid, kb_m, pb.serialized_depth - pdepth, self.orders[i])
+                else:
+                    ki = new_keys[0]  # placeholder — never read (see needed)
+            else:
+                ki = jnp.where(
+                    head_valid[:, None], jnp.take(shifted[i], head_point, axis=0), sentinel_row[None, :]
+                )
             new_keys.append(ki)
             if i == 0:
                 # cluster ids were assigned in ascending keys[0] order and
@@ -631,10 +651,15 @@ class PointTransformerV3(nn.Module):
                 depth=self.serialize_depth,
                 shuffle_key=rng_or_none("shuffle"),
                 sort_indices=None if shuffle_active else used_orders(0),
+                # pooled stages re-encode the extra orders they need from their
+                # own (coarser) grid — only stage-0's orders need full-res keys
+                key_orders=None if shuffle_active else used_orders(0),
             )
         if sorted_ok:
             perm0, inv0 = pb.serialized_order[0], pb.serialized_inverse[0]
-            pb = pb.reorder(perm0, inv0, rebase_orders=used_orders(0))
+            pb = pb.reorder(
+                perm0, inv0, rebase_orders=used_orders(0), rebase_keys=used_orders(0)
+            )
             unsort = (inv0, perm0)
         # order 0 is the identity permutation at a stage when the layout is the
         # pooled construction order (always at pooled stages without shuffling,
@@ -747,6 +772,7 @@ class PointTransformerV3(nn.Module):
                     reduce="max",
                     shuffle_orders=self.shuffle_orders,
                     pd=pd,
+                    orders=orders,
                     name=f"enc{s}_down",
                 )(pb, train, rng_or_none("shuffle"), pre=pool_pre(s),
                   needed=None if shuffle_active else used_orders(s),

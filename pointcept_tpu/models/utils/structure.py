@@ -119,6 +119,7 @@ class PointBatch:
         depth: int = 12,
         shuffle_key: Optional[jax.Array] = None,
         sort_indices: Optional[Sequence[int]] = None,
+        key_orders: Optional[Sequence[int]] = None,
     ) -> "PointBatch":
         """Compute per-order curve codes, orders and inverses.
 
@@ -130,11 +131,30 @@ class PointBatch:
         orders no attention block reads keep identity permutations (keys are
         always computed; pooled stages may still sort them later). Incompatible
         with `shuffle_key`.
+
+        `key_orders` (static) restricts which orders' keys are actually encoded
+        — curve codes are hierarchical (code >> 3 == code of the parent cell,
+        for z AND hilbert), so deeper stages re-encode any extra order they
+        need from the pooled grid instead of carrying full-resolution keys
+        through reorders/poolings. Unencoded slots alias keys[0] and must not
+        be read. Incompatible with `shuffle_key` (shuffling erases the static
+        order-name <-> index mapping).
         """
         assert depth <= 16
         gc = jnp.clip(self.grid_coord, 0, (1 << depth) - 1)
         kb = self.key_batch()
-        keys = ser.encode_all(gc, kb, depth, orders)  # [S, N, 3]
+        if key_orders is not None:
+            assert shuffle_key is None, "key_orders requires unshuffled orders"
+            assert 0 in key_orders, "order 0 drives pooling/block tables"
+            k0 = ser.encode(gc, kb, depth, orders[0])
+            keys = jnp.stack(
+                [
+                    ser.encode(gc, kb, depth, orders[i]) if (i in key_orders and i != 0) else k0
+                    for i in range(len(orders))
+                ]
+            )  # [S, N, 3]
+        else:
+            keys = ser.encode_all(gc, kb, depth, orders)  # [S, N, 3]
         iota = jnp.arange(self.capacity, dtype=jnp.int32)
         if sort_indices is not None:
             assert shuffle_key is None, "sort_indices requires unshuffled orders"
@@ -198,9 +218,15 @@ class PointBatch:
                 ]
             )
             if rebase_keys:
-                new_keys = jnp.stack(
-                    [jnp.take(self.serialized_keys[i], perm, axis=0) for i in range(s)]
-                )
+                # rebase_keys may be a static index set: only those orders'
+                # keys are gathered (others alias the gathered keys[0] — they
+                # were never encoded, see serialize(key_orders=...))
+                kset = range(s) if rebase_keys is True else rebase_keys
+                gathered = {
+                    i: jnp.take(self.serialized_keys[i], perm, axis=0)
+                    for i in set(kset) | {0}
+                }
+                new_keys = jnp.stack([gathered.get(i, gathered[0]) for i in range(s)])
         return self.replace(
             coord=take(self.coord),
             feat=take(self.feat),
