@@ -1,0 +1,13 @@
+# Reusable scannet200 data block (parity: reference configs/_base_/dataset/scannet200.py)
+
+dataset_type = "ScanNet200Dataset"
+data_root = "data/scannet"
+
+data = dict(
+    num_classes=200,
+    ignore_index=-1,
+    names=[f"class_{i}" for i in range(200)],
+    train=dict(type=dataset_type, split="train", data_root=data_root, test_mode=False),
+    val=dict(type=dataset_type, split="val", data_root=data_root, test_mode=False),
+    test=dict(type=dataset_type, split="val", data_root=data_root, test_mode=True),
+)

@@ -1,0 +1,20 @@
+# Concerto-pretrained PTv3-large linear probing on ScanNet
+# (parity: reference configs/concerto/semseg-ptv3-large-v1m1-0a-scannet-lin.py)
+_base_ = ["../sonata/semseg-sonata-v1m1-0a-scannet-lin.py"]
+
+model = dict(
+    backbone_out_channels=1728,  # full up-cast concat width of the large encoder
+    backbone=dict(
+        in_channels=9,
+        enc_channels=(64, 128, 256, 512, 768),
+        enc_num_head=(4, 8, 16, 32, 48),
+    ),
+)
+
+hooks = [
+    dict(type="CheckpointLoader", keywords="student.backbone.", replacement="backbone."),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="SemSegEvaluator"),
+    dict(type="CheckpointSaver", save_freq=None),
+]

@@ -1,0 +1,47 @@
+# concerto-large prompt-tuned (PPT head) fine-tune on scannet
+# (parity: reference configs/concerto/semseg-ptv3-large-v1m1-0d-scannet-ppt.py)
+_base_ = ["./semseg-ptv3-large-v1m1-0a-scannet-lin.py"]
+
+model = dict(
+    _delete_=True,
+    type="PPT-v1m3",
+    backbone=dict(
+        type="PT-v3m2",
+        in_channels=6,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        stride=(2, 2, 2, 2),
+        enc_depths=(3, 3, 3, 12, 3),
+        enc_channels=(64, 128, 256, 512, 768),
+        enc_num_head=(4, 8, 16, 32, 48),
+        enc_patch_size=(1024, 1024, 1024, 1024, 1024),
+        mlp_ratio=4,
+        enable_flash=True,
+        enc_mode=False,
+        serialize_depth=11,
+        grid_size=0.02,
+        dec_depths=(3, 3, 3, 3),
+        dec_channels=(64, 128, 256, 512),
+        dec_num_head=(4, 8, 16, 32),
+        dec_patch_size=(1024, 1024, 1024, 1024),
+    ),
+    criteria=[
+        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
+        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
+    ],
+    freeze_backbone=False,
+    backbone_out_channels=64,
+)
+
+epoch = 800
+eval_epoch = 100
+optimizer = dict(_delete_=True, type="AdamW", lr=0.006, weight_decay=0.05)
+scheduler = dict(
+    _delete_=True,
+    type="OneCycleLR",
+    max_lr=[0.006, 0.0006],
+    pct_start=0.05,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=1000.0,
+)
+param_dicts = [dict(keyword="block", lr=0.0006)]

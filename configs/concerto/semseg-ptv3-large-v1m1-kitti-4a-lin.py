@@ -1,0 +1,56 @@
+# Concerto PTv3-large lin probe on kitti (estimated color/normal)
+# (parity: reference configs/concerto/semseg-ptv3-large-v1m1-kitti-4a-lin.py)
+_base_ = ["../semantic_kitti/semseg-pt-v3m1-0-base.py"]
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentorV2",
+    num_classes=19,
+    backbone_out_channels=1728,
+    freeze_backbone=True,
+    backbone=dict(
+        type="PT-v3m2",
+        in_channels=9,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        stride=(2, 2, 2, 2),
+        enc_depths=(3, 3, 3, 12, 3),
+        enc_channels=(64, 128, 256, 512, 768),
+        enc_num_head=(4, 8, 16, 32, 48),
+        enc_patch_size=(1024, 1024, 1024, 1024, 1024),
+        mlp_ratio=4,
+        enable_flash=True,
+        enc_mode=True,
+        serialize_depth=11,
+        grid_size=0.02,
+    ),
+    up_cast_level=0,
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+data = dict(
+    train=dict(type="SemanticKITTIColorNormalDataset"),
+    val=dict(type="SemanticKITTIColorNormalDataset"),
+    test=dict(type="SemanticKITTIColorNormalDataset"),
+)
+
+epoch = 100
+eval_epoch = 100
+optimizer = dict(_delete_=True, type="AdamW", lr=0.002, weight_decay=0.02)
+scheduler = dict(
+    _delete_=True,
+    type="OneCycleLR",
+    max_lr=0.002,
+    pct_start=0.05,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=1000.0,
+)
+param_dicts = None
+
+hooks = [
+    dict(type="CheckpointLoader", keywords="student.backbone.", replacement="backbone."),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="SemSegEvaluator"),
+    dict(type="CheckpointSaver", save_freq=None),
+]

@@ -1,0 +1,19 @@
+# Small LitePT on nuScenes
+# (parity: reference configs/nuscenes/semseg-litept-v1m1-0-small.py)
+_base_ = ["./semseg-pt-v3m1-0-base.py"]
+
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type="LitePT-v1",
+        in_channels=4,
+        enc_depths=(1, 1, 1, 1, 1),
+        enc_channels=(32, 64, 128, 256, 512),
+        enc_num_head=(2, 4, 8, 16, 32),
+        dec_depths=(1, 1, 1, 1),
+        dec_channels=(64, 64, 128, 256),
+        dec_num_head=(4, 4, 8, 16),
+        patch_size=1024,
+        serialize_depth=11,
+    ),
+)

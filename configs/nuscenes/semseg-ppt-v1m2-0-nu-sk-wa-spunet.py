@@ -1,0 +1,28 @@
+# PPT v1m2 (decoupled per-dataset heads, no language guidance) validated on nuScenes
+# (parity: reference configs/nuscenes/semseg-ppt-v1m2-0-nu-sk-wa-spunet.py)
+_base_ = ["./semseg-ppt-v1m1-0-nu-sk-wa-spunet.py"]
+
+model = dict(
+    _delete_=True,
+    type="PPT-v1m2",
+    backbone=dict(
+        type="SpUNet-v1m3",
+        in_channels=4,
+        num_classes=0,
+        base_channels=32,
+        context_channels=256,
+        channels=(32, 64, 128, 256, 256, 128, 96, 96),
+        layers=(2, 3, 4, 6, 2, 2, 2, 2),
+        conditions=("SemanticKITTI", "nuScenes", "Waymo"),
+        zero_init=False,
+        norm_decouple=True,
+        norm_adaptive=True,
+        norm_affine=True,
+        serialize_depth=11,
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+    backbone_out_channels=96,
+    context_channels=256,
+    conditions=("SemanticKITTI", "nuScenes", "Waymo"),
+    num_classes=(19, 16, 22),
+)

@@ -1,0 +1,22 @@
+# PPT-pretrained SpUNet fine-tuned for PointGroup instance segmentation on S3DIS
+# (parity: reference configs/s3dis/insseg-ppt-v1m1-0-pointgroup-spunet-ft.py)
+_base_ = ["./insseg-pointgroup-v1m1-0-spunet-base.py"]
+
+model = dict(
+    backbone=dict(
+        type="SpUNet-v1m3",
+        conditions=("ScanNet", "S3DIS", "Structured3D"),
+        zero_init=False,
+        norm_decouple=True,
+        norm_adaptive=True,
+        norm_affine=True,
+    ),
+)
+
+hooks = [
+    dict(type="CheckpointLoader", keywords="module.backbone.", replacement="backbone."),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="InsSegEvaluator", segment_ignore_index=(-1,), instance_ignore_index=-1),
+    dict(type="CheckpointSaver", save_freq=None),
+]

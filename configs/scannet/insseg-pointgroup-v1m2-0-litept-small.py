@@ -1,0 +1,19 @@
+# PointGroup-v1m2 with a small LitePT backbone on ScanNet
+# (parity: reference configs/scannet/insseg-pointgroup-v1m2-0-litept-small.py)
+_base_ = ["./insseg-pointgroup-v1m2-0-ptv3-base.py"]
+
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type="LitePT-v1",
+        in_channels=6,
+        enc_depths=(1, 1, 1, 1, 1),
+        enc_channels=(32, 64, 128, 256, 512),
+        enc_num_head=(2, 4, 8, 16, 32),
+        dec_depths=(1, 1, 1, 1),
+        dec_channels=(64, 64, 128, 256),
+        dec_num_head=(4, 4, 8, 16),
+        patch_size=1024,
+        serialize_depth=11,
+    ),
+)

@@ -1,0 +1,13 @@
+# PTv1 on ScanNet200
+# (parity: reference configs/scannet200/semseg-pt-v1-0-base.py)
+_base_ = ["../scannet/semseg-pt-v1-0-base.py"]
+
+model = dict(num_classes=200)
+
+data = dict(
+    num_classes=200,
+    names=[f"class_{i}" for i in range(200)],
+    train=dict(type="ScanNet200Dataset"),
+    val=dict(type="ScanNet200Dataset"),
+    test=dict(type="ScanNet200Dataset"),
+)

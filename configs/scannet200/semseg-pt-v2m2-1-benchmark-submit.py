@@ -1,0 +1,10 @@
+# PTv2 ScanNet200 benchmark submission
+# (parity: reference configs/scannet200/semseg-pt-v2m2-1-benchmark-submit.py)
+_base_ = ["./semseg-pt-v2m2-0-base.py"]
+
+evaluate = False
+
+data = dict(
+    train=dict(split=("train", "val")),
+    test=dict(split="test"),
+)

@@ -1,0 +1,35 @@
+# SGIFormer (PTv3 backbone) instance segmentation on ScanNet++
+# (parity: reference configs/scannetpp/insseg-sgiformer-v1m1-0-ptv3-base.py)
+_base_ = ["../scannet/insseg-pointgroup-v1m1-0-spunet-base.py"]
+
+model = dict(
+    _delete_=True,
+    type="SGIFormer-v1m1",
+    semantic_num_classes=100,
+    decoder=dict(num_classes=100),
+    backbone=dict(
+        type="PT-v3m1",
+        in_channels=6,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        stride=(2, 2, 2, 2),
+        enc_depths=(2, 2, 2, 6, 2),
+        enc_channels=(32, 64, 128, 256, 512),
+        enc_num_head=(2, 4, 8, 16, 32),
+        enc_patch_size=(1024,) * 5,
+        dec_depths=(2, 2, 2, 2),
+        dec_channels=(64, 64, 128, 256),
+        dec_num_head=(4, 4, 8, 16),
+        dec_patch_size=(1024,) * 4,
+        mlp_ratio=4,
+        drop_path=0.3,
+        serialize_depth=11,
+        pool_capacity_factors=(0.4, 0.4, 0.4, 0.4),
+    ),
+)
+
+data = dict(
+    num_classes=100,
+    names=[f"class_{i}" for i in range(100)],
+    train=dict(type="ScanNetPPDataset", data_root="data/scannetpp"),
+    val=dict(type="ScanNetPPDataset", data_root="data/scannetpp"),
+)

@@ -1,0 +1,13 @@
+# OA-CNNs on ScanNet++
+# (parity: reference configs/scannetpp/semseg-oacnn-v1m1-0-base.py)
+_base_ = ["../scannet/semseg-oacnns-v1m1-0-base.py"]
+
+model = dict(num_classes=100)
+
+data = dict(
+    num_classes=100,
+    names=[f"class_{i}" for i in range(100)],
+    train=dict(type="ScanNetPPDataset", data_root="data/scannetpp"),
+    val=dict(type="ScanNetPPDataset", data_root="data/scannetpp"),
+    test=dict(type="ScanNetPPDataset", data_root="data/scannetpp"),
+)

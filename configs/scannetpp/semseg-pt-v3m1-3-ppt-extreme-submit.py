@@ -1,0 +1,9 @@
+# PTv3+PPT extreme ScanNet++ submission
+# (parity: reference configs/scannetpp/semseg-pt-v3m1-3-ppt-extreme-submit.py)
+_base_ = ["./semseg-pt-v3m1-2-ppt-extreme.py"]
+
+evaluate = False
+
+data = dict(
+    test=dict(split="test"),
+)

@@ -1,0 +1,6 @@
+# sonata PointGroup insseg decoder probe on scannet
+# (parity: reference configs/sonata/insseg-sonata-v1m1-0b-scannet-pg-dec.py)
+_base_ = ["./insseg-sonata-v1m1-0a-scannet-pg-lin.py"]
+
+model = dict(freeze_backbone=False)
+param_dicts = [dict(keyword="enc", lr=0.0)]

@@ -1,0 +1,10 @@
+# Sonata data-efficient fine-tune on ScanNet (lr10)
+# (parity: reference configs/sonata/semseg-sonata-v1m1-0e6-scannet-ft-lr10.py)
+_base_ = ["./semseg-sonata-v1m1-0c-scannet-ft.py"]
+
+data = dict(
+    train=dict(
+        lr_file="data/scannet/tasks/scenes/10.txt",
+        ignore_index=-1,
+    ),
+)

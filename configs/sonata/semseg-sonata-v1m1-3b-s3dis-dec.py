@@ -1,0 +1,18 @@
+# sonata decoder probing on s3dis: frozen encoder + light decoder
+# (parity: reference configs/sonata/semseg-sonata-v1m1-3b-s3dis-dec.py)
+_base_ = ["./semseg-sonata-v1m1-3a-s3dis-lin.py"]
+
+model = dict(
+    backbone_out_channels=64,
+    backbone=dict(
+        enc_mode=False,
+        dec_depths=(3, 3, 3, 3),
+        dec_channels=(64, 96, 192, 384),
+        dec_num_head=(4, 6, 12, 24),
+        dec_patch_size=(1024, 1024, 1024, 1024),
+    ),
+    up_cast_level=0,
+    freeze_backbone=False,  # decoder is fresh; encoder frozen via lr=0 group
+)
+
+param_dicts = [dict(keyword="enc", lr=0.0)]

@@ -1,0 +1,17 @@
+# Sonata full fine-tune on S3DIS Area-5
+# (parity: reference configs/sonata/semseg-sonata-v1m1-3c-s3dis-ft.py)
+_base_ = ["./semseg-sonata-v1m1-3a-s3dis-lin.py"]
+
+model = dict(
+    freeze_backbone=False,
+    criteria=[
+        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
+        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
+    ],
+)
+
+epoch = 3000
+eval_epoch = 100
+optimizer = dict(lr=0.006, weight_decay=0.05)
+scheduler = dict(max_lr=[0.006, 0.0006])
+param_dicts = [dict(keyword="block", lr=0.0006)]

@@ -1,0 +1,21 @@
+# Small LitePT on Structured3D
+# (parity: reference configs/structured3d/semseg-litept-v1m1-0-small.py)
+_base_ = ["./semseg-pt-v2m2-0-base.py"]
+
+model = dict(
+    type="DefaultSegmentorV2",
+    backbone=dict(
+        _delete_=True,
+        type="LitePT-v1",
+        in_channels=9,
+        enc_depths=(1, 1, 1, 1, 1),
+        enc_channels=(32, 64, 128, 256, 512),
+        enc_num_head=(2, 4, 8, 16, 32),
+        dec_depths=(1, 1, 1, 1),
+        dec_channels=(64, 64, 128, 256),
+        dec_num_head=(4, 4, 8, 16),
+        patch_size=1024,
+        serialize_depth=11,
+    ),
+    backbone_out_channels=64,
+)

@@ -1,0 +1,11 @@
+# Swin3D large on Structured3D
+# (parity: reference configs/structured3d/semseg-swin3d-v1m1-1-large.py)
+_base_ = ["./semseg-swin3d-v1m1-0-small.py"]
+
+model = dict(
+    backbone=dict(
+        depths=(2, 4, 9, 4, 4),
+        channels=(80, 160, 320, 640, 640),
+        num_heads=(10, 10, 20, 40, 40),
+    ),
+)

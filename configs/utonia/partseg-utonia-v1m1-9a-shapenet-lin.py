@@ -1,0 +1,109 @@
+# Utonia part-seg linear probe on shapenet
+# (parity: reference configs/utonia/partseg-utonia-v1m1-9a-shapenet-lin.py)
+_base_ = ["../_base_/default_runtime.py"]
+
+batch_size = 16
+mix_prob = 0
+clip_grad = 3.0
+
+test = dict(type="ShapeNetPartSegTester", verbose=True)
+
+model = dict(
+    type="DefaultSegmentorV2",
+    num_classes=50,
+    backbone_out_channels=1386,
+    freeze_backbone=True,
+    backbone=dict(
+        type="PT-v3m3",
+        in_channels=9,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        stride=(2, 2, 2, 2),
+        enc_depths=(3, 3, 3, 12, 3),
+        enc_channels=(54, 108, 216, 432, 576),
+        enc_num_head=(3, 6, 12, 24, 32),
+        enc_patch_size=(1024, 1024, 1024, 1024, 1024),
+        mlp_ratio=4,
+        enable_flash=True,
+        enc_mode=True,
+        mask_token=True,
+        rope_base=10.0,
+        serialize_depth=11,
+        grid_size=0.02,
+    ),
+    up_cast_level=0,
+    criteria=[
+        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
+        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
+    ],
+)
+
+epoch = 300
+eval_epoch = 100
+optimizer = dict(type="AdamW", lr=0.002, weight_decay=0.02)
+scheduler = dict(
+    type="OneCycleLR",
+    max_lr=0.002,
+    pct_start=0.05,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=1000.0,
+)
+
+dataset_type = "ShapeNetPartDataset"
+data_root = "data/shapenetcore_partanno_segmentation_benchmark_v0_normal"
+
+data = dict(
+    num_classes=50,
+    names=[f"part_{i}" for i in range(50)],
+    train=dict(
+        type=dataset_type,
+        split="train",
+        data_root=data_root,
+        transform=[
+            dict(type="NormalizeCoord"),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z", p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="GridSample", grid_size=0.01, hash_type="fnv", mode="train", return_grid_coord=True),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=("coord", "normal", "coord")),
+        ],
+        test_mode=False,
+    ),
+    val=dict(
+        type=dataset_type,
+        split="val",
+        data_root=data_root,
+        transform=[
+            dict(type="NormalizeCoord"),
+            dict(type="GridSample", grid_size=0.01, hash_type="fnv", mode="train", return_grid_coord=True),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=("coord", "normal", "coord")),
+        ],
+        test_mode=False,
+    ),
+    test=dict(
+        type=dataset_type,
+        split="test",
+        data_root=data_root,
+        transform=[dict(type="NormalizeCoord")],
+        test_mode=True,
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.01, hash_type="fnv", mode="test", return_grid_coord=True),
+            crop=None,
+            post_transform=[
+                dict(type="ToTensor"),
+                dict(type="Collect", keys=("coord", "grid_coord", "index"), feat_keys=("coord", "normal", "coord")),
+            ],
+            aug_transform=[[dict(type="RandomScale", scale=[1, 1])]],
+        ),
+    ),
+)
+
+hooks = [
+    dict(type="CheckpointLoader", keywords="student.backbone.", replacement="backbone."),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="SemSegEvaluator"),
+    dict(type="CheckpointSaver", save_freq=None),
+]

@@ -1,0 +1,12 @@
+# Utonia dec probe on scannet without normal
+# (parity: reference configs/utonia/semseg-utonia-v1m1-0h-scannet-nonormal-dec.py)
+_base_ = ["./semseg-utonia-v1m1-0b-scannet-dec.py"]
+
+# zero the normal feature channels everywhere (probe robustness ablation)
+no_feat = [dict(type="RandomDropNormal", drop_ratio=1.0, drop_application_ratio=1.0)]
+
+data = dict(
+    train=dict(extra_transform=no_feat),
+    val=dict(extra_transform=no_feat),
+    test=dict(extra_transform=no_feat),
+)

@@ -1,0 +1,58 @@
+# utonia linear probing on nuscenes (outdoor, geometry-only features)
+# (parity: reference configs/utonia/semseg-utonia-v1m1-4a-nuscenes-lin.py)
+_base_ = ["../nuscenes/semseg-pt-v3m1-0-base.py"]
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentorV2",
+    num_classes=16,
+    backbone_out_channels=1386,
+    freeze_backbone=True,
+    backbone=dict(
+        type="PT-v3m3",
+        in_channels=9,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        stride=(2, 2, 2, 2),
+        enc_depths=(3, 3, 3, 12, 3),
+        enc_channels=(54, 108, 216, 432, 576),
+        enc_num_head=(3, 6, 12, 24, 32),
+        enc_patch_size=(1024, 1024, 1024, 1024, 1024),
+        mlp_ratio=4,
+        enable_flash=True,
+        enc_mode=True,
+        mask_token=True,
+        rope_base=10.0,
+        serialize_depth=11,
+        grid_size=0.02,
+    ),
+    up_cast_level=0,
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+data = dict(
+    train=dict(type="NuScenesColorNormalDataset"),
+    val=dict(type="NuScenesColorNormalDataset"),
+    test=dict(type="NuScenesColorNormalDataset"),
+)
+
+epoch = 100
+eval_epoch = 100
+optimizer = dict(_delete_=True, type="AdamW", lr=0.001, weight_decay=0.0)
+scheduler = dict(
+    _delete_=True,
+    type="OneCycleLR",
+    max_lr=0.001,
+    pct_start=0.05,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=1000.0,
+)
+param_dicts = None
+
+hooks = [
+    dict(type="CheckpointLoader", keywords="student.backbone.", replacement="backbone."),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="SemSegEvaluator"),
+    dict(type="CheckpointSaver", save_freq=None),
+]

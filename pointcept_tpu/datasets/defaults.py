@@ -45,9 +45,22 @@ class DefaultDataset:
         cache=False,
         ignore_index=-1,
         loop=1,
+        extra_transform=None,
     ):
         self.data_root = data_root
         self.split = split
+        # extra_transform splices into the inherited pipeline — lets variant
+        # configs (e.g. the nocolor/nonormal probe ablations) add a transform
+        # without restating the whole base list. Inserted before the terminal
+        # Collect (which packs per-key arrays into `feat` and drops the keys).
+        if extra_transform:
+            transform = list(transform or [])
+            cut = next(
+                (i for i, t in enumerate(transform) if dict(t).get("type") == "Collect"),
+                len(transform),
+            )
+            transform = transform[:cut] + list(extra_transform) + transform[cut:]
+        self.extra_transform = extra_transform
         self.transform = Compose(transform)
         self.cache = cache
         self.ignore_index = ignore_index
@@ -59,7 +72,10 @@ class DefaultDataset:
         if test_mode:
             self.test_voxelize = TRANSFORMS.build(dict(self.test_cfg["voxelize"])) if self.test_cfg.get("voxelize") else None
             self.test_crop = TRANSFORMS.build(dict(self.test_cfg["crop"])) if self.test_cfg.get("crop") else None
-            self.post_transform = Compose(self.test_cfg.get("post_transform"))
+            post = list(self.test_cfg.get("post_transform") or [])
+            if extra_transform:
+                post = list(extra_transform) + post
+            self.post_transform = Compose(post)
             self.aug_transform = [Compose(aug) for aug in self.test_cfg.get("aug_transform", [[]])]
 
         self.data_list = self.get_data_list()

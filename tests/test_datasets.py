@@ -649,3 +649,32 @@ def test_concerto_export_manifest(tmp_path):
     sample = ds[0]
     assert sample["correspondence"].shape[0] == n
     assert (sample["correspondence"][:, 0, 0] >= 0).sum() > 10
+
+
+def test_extra_transform_splices_before_collect():
+    """`extra_transform` (used by the nocolor/nonormal probe configs) must run
+    before the terminal Collect so it still sees the per-key arrays."""
+    base = dict(
+        type="SyntheticSemSegDataset",
+        split="train",
+        num_scenes=2,
+        num_points=2000,
+        transform=[
+            dict(type="GridSample", grid_size=0.05, mode="train", return_grid_coord=True),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=("color", "coord")),
+        ],
+    )
+    feat = np.asarray(build_dataset(dict(base))[0]["feat"])
+    assert np.abs(feat[:, :3]).sum() > 0  # colors present by default
+    feat_no = np.asarray(
+        build_dataset(
+            dict(
+                base,
+                extra_transform=[
+                    dict(type="RandomDropColor", drop_ratio=1.0, drop_application_ratio=1.0)
+                ],
+            )
+        )[0]["feat"]
+    )
+    assert np.allclose(feat_no[:, :3], 0)  # color channels zeroed
+    assert np.abs(feat_no[:, 3:]).sum() > 0  # coord features untouched

@@ -105,8 +105,8 @@ def test_utonia_stage_configs_parse():
     from pointcept_tpu.utils.config import Config
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    p1 = os.path.join(repo, "configs/utonia/pretrain-utonia-v1m1-0-base-stagev1.py")
-    p2 = os.path.join(repo, "configs/utonia/pretrain-utonia-v1m1-0-base-stagev2.py")
+    p1 = os.path.join(repo, "configs/utonia/pretrain-utonia-v1m1-0-base_stagev1.py")
+    p2 = os.path.join(repo, "configs/utonia/pretrain-utonia-v1m1-0-base_stagev2.py")
     cfg1 = Config.fromfile(p1)
     cfg2 = Config.fromfile(p2)
     assert cfg1.model.type == "Utonia-v1m1"
