@@ -16,3 +16,11 @@ model = dict(
     ),
     backbone_embed_dim=96,
 )
+
+# --- training schedule: extracted from the reference config of the same
+# name (tools/ref_schedules.json via tools/extract_ref_schedules.py) ---
+epoch = 200
+eval_epoch = 100
+optimizer = dict(_delete_=True, lr=0.1, momentum=0.9, nesterov=True, type='SGD', weight_decay=0.0001)
+scheduler = dict(_delete_=True, gamma=0.1, milestones=[0.6, 0.8], type='MultiStepLR')
+param_dicts = None

@@ -22,3 +22,11 @@ data = dict(
     val=dict(type=dataset_type, data_root=data_root, split="Area_5"),
     test=dict(type=dataset_type, data_root=data_root, split="Area_5"),
 )
+
+# --- training schedule: extracted from the reference config of the same
+# name (tools/ref_schedules.json via tools/extract_ref_schedules.py) ---
+epoch = 3000
+eval_epoch = 100
+optimizer = dict(_delete_=True, lr=0.006, type='AdamW', weight_decay=0.05)
+scheduler = dict(_delete_=True, gamma=0.1, milestones=[0.6, 0.8], type='MultiStepLR')
+param_dicts = None

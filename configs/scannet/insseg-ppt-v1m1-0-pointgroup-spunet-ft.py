@@ -20,3 +20,11 @@ hooks = [
     dict(type="InsSegEvaluator", segment_ignore_index=(-1, 0, 1), instance_ignore_index=-1),
     dict(type="CheckpointSaver", save_freq=None),
 ]
+
+# --- training schedule: extracted from the reference config of the same
+# name (tools/ref_schedules.json via tools/extract_ref_schedules.py) ---
+epoch = 800
+eval_epoch = 100
+optimizer = dict(_delete_=True, lr=0.1, momentum=0.9, nesterov=True, type='SGD', weight_decay=0.0001)
+scheduler = dict(_delete_=True, type='PolyLR')
+param_dicts = None

@@ -13,3 +13,11 @@ dataset_type = "ScanNetPairDataset"
 data = dict(
     train=dict(type=dataset_type, data_root="data/scannet_pair"),
 )
+
+# --- training schedule: extracted from the reference config of the same
+# name (tools/ref_schedules.json via tools/extract_ref_schedules.py) ---
+epoch = 10
+eval_epoch = 10
+optimizer = dict(_delete_=True, lr=0.1, momentum=0.8, nesterov=True, type='SGD', weight_decay=0.0001)
+scheduler = dict(_delete_=True, anneal_strategy='cos', div_factor=10.0, final_div_factor=10000.0, max_lr=0.1, pct_start=0.01, type='OneCycleLR')
+param_dicts = None

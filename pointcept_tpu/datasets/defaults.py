@@ -72,9 +72,12 @@ class DefaultDataset:
         if test_mode:
             self.test_voxelize = TRANSFORMS.build(dict(self.test_cfg["voxelize"])) if self.test_cfg.get("voxelize") else None
             self.test_crop = TRANSFORMS.build(dict(self.test_cfg["crop"])) if self.test_cfg.get("crop") else None
+            # extra_transform is already spliced into the main transform above
+            # (test pipelines have no Collect, so it lands at the end and runs
+            # once per sample before fragmenting); do NOT also prepend it to
+            # post_transform or non-idempotent transforms would compound per
+            # fragment.
             post = list(self.test_cfg.get("post_transform") or [])
-            if extra_transform:
-                post = list(extra_transform) + post
             self.post_transform = Compose(post)
             self.aug_transform = [Compose(aug) for aug in self.test_cfg.get("aug_transform", [[]])]
 

@@ -29,6 +29,34 @@ def _t(w):  # torch Linear -> flax Dense kernel
     return np.ascontiguousarray(np.asarray(w).T)
 
 
+# channel widths of the Collect feat_keys that stems consume
+_FEAT_DIMS = {"coord": 3, "color": 3, "normal": 3, "grid_coord": 3, "strength": 1}
+
+
+def feat_input_perm(src_keys, dst_keys):
+    """Input-channel permutation taking a stem weight trained with Collect
+    ``feat_keys=src_keys`` to one usable with ``feat_keys=dst_keys``.
+
+    ``perm[i]`` is the source channel feeding destination channel ``i``; apply
+    as ``weight[..., perm, out_axis]``. Reference SSL checkpoints use
+    ("coord", "color", "normal") (e.g. `configs/sonata/` in the reference)
+    while this repo's pretrain/probe configs use ("color", "normal", "coord");
+    without this permutation a converted 9-channel stem silently mispairs its
+    inputs (coord weights applied to color, ...).
+    """
+    src_keys, dst_keys = tuple(src_keys), tuple(dst_keys)
+    if sorted(src_keys) != sorted(dst_keys):
+        raise ValueError(f"feat_keys mismatch: {src_keys} vs {dst_keys}")
+    offs, o = {}, 0
+    for k in src_keys:
+        offs[k] = o
+        o += _FEAT_DIMS[k]
+    perm = []
+    for k in dst_keys:
+        perm.extend(range(offs[k], offs[k] + _FEAT_DIMS[k]))
+    return np.asarray(perm, np.int64)
+
+
 def _conv(w, k3: int):
     """spconv weight -> [k^3, in, out]."""
     w = np.asarray(w)
@@ -99,7 +127,11 @@ def _map_linear(tb: TreeBuilder, src: dict, torch_prefix: str, flax_path: str):
         tb.param(f"{flax_path}/bias", src[f"{torch_prefix}.bias"])
 
 
-def convert_ptv3(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[dict, dict, list]:
+def convert_ptv3(
+    state_dict: dict,
+    backbone_prefix: str = "backbone.",
+    stem_in_perm=None,
+) -> Tuple[dict, dict, list]:
     """Reference PT-v3m1 (DefaultSegmentorV2) state_dict -> (params, batch_stats, unmatched).
 
     Reference module names from `point_transformer_v3m1_base.py`:
@@ -152,11 +184,27 @@ def convert_ptv3(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[
             continue
         r = k[len(bp):]
         if r.startswith("embedding.stem.conv"):
-            tb.param(f"{out}/embedding/stem_conv/weight", _conv(src[f"{bp}embedding.stem.conv.weight"], 125))
+            w = _conv(src[f"{bp}embedding.stem.conv.weight"], 125)
+            if stem_in_perm is not None:
+                if len(stem_in_perm) != w.shape[1]:
+                    raise ValueError(
+                        f"stem_in_perm len {len(stem_in_perm)} != stem in_channels {w.shape[1]}"
+                    )
+                w = w[:, np.asarray(stem_in_perm), :]
+            tb.param(f"{out}/embedding/stem_conv/weight", w)
             handled.add(k)
         elif r.startswith("embedding.stem.linear"):
             # v3m2 linear embedding (sonata `:507-540`)
-            _map_linear(tb, src, f"{bp}embedding.stem.linear", f"{out}/embedding/stem_linear")
+            kern = _t(src[f"{bp}embedding.stem.linear.weight"])
+            if stem_in_perm is not None:
+                if len(stem_in_perm) != kern.shape[0]:
+                    raise ValueError(
+                        f"stem_in_perm len {len(stem_in_perm)} != stem in_features {kern.shape[0]}"
+                    )
+                kern = kern[np.asarray(stem_in_perm), :]
+            tb.param(f"{out}/embedding/stem_linear/kernel", kern)
+            if f"{bp}embedding.stem.linear.bias" in src:
+                tb.param(f"{out}/embedding/stem_linear/bias", src[f"{bp}embedding.stem.linear.bias"])
             handled.add(k)
         elif r == "embedding.mask_token":
             tb.param(f"{out}/embedding/mask_token", src[k])
@@ -197,7 +245,11 @@ def convert_ptv3(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[
     return tb.params, tb.stats, sorted(set(unmatched))
 
 
-def convert_spunet(state_dict: dict, backbone_prefix: str = "backbone.") -> Tuple[dict, dict, list]:
+def convert_spunet(
+    state_dict: dict,
+    backbone_prefix: str = "backbone.",
+    stem_in_perm=None,
+) -> Tuple[dict, dict, list]:
     """Reference SpUNet-v1m1 state_dict -> (params, batch_stats, unmatched)."""
     src = dict(state_dict)
     tb = TreeBuilder()
@@ -219,7 +271,14 @@ def convert_spunet(state_dict: dict, backbone_prefix: str = "backbone.") -> Tupl
             continue
         r = key[len(bp):]
         if r.startswith("conv_input.0."):
-            tb.param(f"{out}/conv_input/weight", _conv(src[f"{bp}conv_input.0.weight"], 125))
+            w = _conv(src[f"{bp}conv_input.0.weight"], 125)
+            if stem_in_perm is not None:
+                if len(stem_in_perm) != w.shape[1]:
+                    raise ValueError(
+                        f"stem_in_perm len {len(stem_in_perm)} != stem in_channels {w.shape[1]}"
+                    )
+                w = w[:, np.asarray(stem_in_perm), :]
+            tb.param(f"{out}/conv_input/weight", w)
         elif r.startswith("conv_input.1."):
             _map_bn(tb, src, f"{bp}conv_input.1", f"{out}/stem_norm")
         elif m := re.match(r"down\.(\d+)\.0\.weight", r):

@@ -19,7 +19,15 @@ while getopts "j:p:t:" opt; do
 done
 
 CONTEXT_DIR=$(mktemp -d)
-cat > "$CONTEXT_DIR/Dockerfile" <<EOF
+# copy the repo into the context FIRST so a Dockerfile at the repo root cannot
+# clobber the generated one, and exclude VCS/data trees from the image
+cp -r . "$CONTEXT_DIR/."
+cat > "$CONTEXT_DIR/.dockerignore" <<EOF
+.git
+data
+exp
+EOF
+cat > "$CONTEXT_DIR/Dockerfile.pointcept_tpu" <<EOF
 FROM python:${PYTHON_VERSION}-slim
 
 # native toolchain for the host geometry/clustering libs (native/*.cpp)
@@ -38,7 +46,6 @@ WORKDIR /workspace/pointcept_tpu
 RUN python -c "from pointcept_tpu.ops import host_geometry as hg; hg._load()" || true
 EOF
 
-cp -r . "$CONTEXT_DIR/." 2>/dev/null
 echo "Building ${TAG} (jax ${JAX_VERSION}, python ${PYTHON_VERSION})"
-docker build -t "${TAG}" "$CONTEXT_DIR"
+docker build -t "${TAG}" -f "$CONTEXT_DIR/Dockerfile.pointcept_tpu" "$CONTEXT_DIR"
 rm -rf "$CONTEXT_DIR"

@@ -8,6 +8,11 @@
 # whenever adding the next file would exceed MAX_GB. Volume names are
 # <basename>_000.tar.gz, _001, ... relative paths inside the tar are rooted at
 # SOURCE_DIR so extraction recreates the original tree.
+#
+# Limitation: file paths are processed line-by-line, so names containing
+# newlines would corrupt the volume lists (fine for preprocessed dataset
+# trees, which use sanitized scene names). A single file larger than MAX_GB
+# gets its own oversized volume (warned).
 
 set -e
 
@@ -39,6 +44,9 @@ flush() {
 ( cd "$SRC" && find . -type f | sort ) > "$TMP/all_files"
 while read -r f; do
   kb=$(du -k "$SRC/$f" | cut -f1)
+  if [ "$kb" -gt "$LIMIT_KB" ]; then
+    echo "warning: '$f' (${kb} KB) exceeds the ${LIMIT_KB} KB volume limit; packing an oversized volume" >&2
+  fi
   if [ "$size_kb" -gt 0 ] && [ $((size_kb + kb)) -gt "$LIMIT_KB" ]; then
     flush
     vol=$((vol + 1))

@@ -102,3 +102,34 @@ def test_config_parses_and_types_resolve(path):
                 _walk_types(tc.get("aug_transform", []), TRANSFORMS, tf_bag)
                 for name, reg in tf_bag:
                     assert name in reg, f"unknown transform {name} in {path}"
+
+
+# --- training-schedule parity vs the reference (ADVICE r2 #1) -------------
+# tools/ref_schedules.json holds the resolved epoch/eval_epoch/optimizer/
+# scheduler/param_dicts of every reference config whose relpath also exists
+# here (extracted by tools/extract_ref_schedules.py). Each such repo config
+# must resolve to the same schedule.
+
+with open(os.path.join(REPO, "tools", "ref_schedules.json")) as _f:
+    import json as _json
+
+    REF_SCHEDULES = _json.load(_f)
+
+
+def _plain(x):
+    if isinstance(x, dict):
+        return {k: _plain(v) for k, v in x.items() if k != "_delete_"}
+    if isinstance(x, (list, tuple)):
+        return [_plain(v) for v in x]
+    return x
+
+
+@pytest.mark.parametrize("rel", sorted(REF_SCHEDULES), ids=lambda r: r)
+def test_schedule_matches_reference(rel):
+    cfg = Config.fromfile(os.path.join(REPO, rel))
+    ref = REF_SCHEDULES[rel]
+    for key in ("epoch", "eval_epoch", "optimizer", "scheduler", "param_dicts"):
+        if key in ref:
+            assert _plain(cfg.get(key, None)) == _plain(ref[key]), (
+                f"{rel}: {key} diverges from the reference schedule"
+            )

@@ -318,3 +318,34 @@ def test_convert_spunet_v1m3_pdnorm():
             sd[f"conv_input.1.bns.{i}.running_mean"],
         )
     assert sn["modulation"]["kernel"].shape == (256, 16)
+
+
+def test_feat_input_perm_stem():
+    """ADVICE r2 #2: reference SSL checkpoints are trained with Collect
+    feat_keys=(coord,color,normal); this repo's 9-channel probe configs use
+    (color,normal,coord). The converter's stem_in_perm must repair the
+    pairing so stem @ feat is invariant."""
+    from pointcept_tpu.models.utils.convert import feat_input_perm
+
+    rng = np.random.RandomState(0)
+    perm = feat_input_perm(("coord", "color", "normal"), ("color", "normal", "coord"))
+    assert perm.tolist() == [3, 4, 5, 6, 7, 8, 0, 1, 2]
+
+    coord, color, normal = rng.randn(3, 7, 3).astype(np.float32)
+    feat_ref = np.concatenate([coord, color, normal], 1)   # reference order
+    feat_ours = np.concatenate([color, normal, coord], 1)  # repo probe order
+    w = rng.randn(9, 4).astype(np.float32)  # [in, out] slice of a stem tap
+    np.testing.assert_allclose(feat_ours @ w[perm], feat_ref @ w, rtol=1e-5, atol=1e-6)
+
+    # conv path: [k^3, in, out] weights permute on axis 1
+    d = {}
+    k3 = 125
+    d["backbone.embedding.stem.conv.weight"] = rng.randn(5, 5, 5, 9, 8).astype(np.float32)
+    _torch_bn(rng, 8, "backbone.embedding.stem.norm", d)
+    params, _, _ = convert_state_dict(
+        d, "PT-v3m1", stem_in_perm=feat_input_perm(
+            ("coord", "color", "normal"), ("color", "normal", "coord"))
+    )
+    w_conv = params["backbone_module"]["embedding"]["stem_conv"]["weight"]
+    ref = d["backbone.embedding.stem.conv.weight"].reshape(k3, 9, 8)
+    np.testing.assert_allclose(w_conv, ref[:, [3, 4, 5, 6, 7, 8, 0, 1, 2], :])

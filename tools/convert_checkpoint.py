@@ -25,18 +25,41 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--backbone-prefix", default="backbone.")
+    parser.add_argument(
+        "--feat-keys",
+        default=None,
+        help="Collect feat_keys order of the TARGET config, comma-separated "
+        "(e.g. color,normal,coord). When it differs from --src-feat-keys the "
+        "stem's input channels are permuted to match.",
+    )
+    parser.add_argument(
+        "--src-feat-keys",
+        default="coord,color,normal",
+        help="feat_keys order the checkpoint was trained with (reference "
+        "default: coord,color,normal).",
+    )
     args = parser.parse_args()
 
     import numpy as np
     import torch
 
-    from pointcept_tpu.models.utils.convert import convert_state_dict
+    from pointcept_tpu.models.utils.convert import convert_state_dict, feat_input_perm
 
     ckpt = torch.load(args.input, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("state_dict", ckpt)
     state_dict = {k.removeprefix("module."): v.numpy() for k, v in state_dict.items()}
+    stem_in_perm = None
+    if args.feat_keys:
+        src_keys = tuple(args.src_feat_keys.split(","))
+        dst_keys = tuple(args.feat_keys.split(","))
+        if src_keys != dst_keys:
+            stem_in_perm = feat_input_perm(src_keys, dst_keys)
+            print(f"permuting stem input channels {src_keys} -> {dst_keys}: {stem_in_perm}")
     params, stats, unmatched = convert_state_dict(
-        state_dict, args.model_type, backbone_prefix=args.backbone_prefix
+        state_dict,
+        args.model_type,
+        backbone_prefix=args.backbone_prefix,
+        stem_in_perm=stem_in_perm,
     )
     if unmatched:
         print(f"WARNING: {len(unmatched)} unmatched keys, e.g. {unmatched[:10]}")

@@ -4,9 +4,14 @@ variants) so the corpus matches the reference's config inventory file-by-file.
 Dev tool: run once from the repo root; files it writes are committed. Every
 emitted config chains off a hand-written anchor (the family's scannet lin
 probe, a dataset base, etc.) so the per-file delta stays small and readable.
-Hyperparameters mirror the reference configs of the same name (see each file's
-parity line); the corpus test (tests/test_configs_corpus.py) checks that every
-file parses and resolves its registry types.
+Model/data topology mirrors the reference configs of the same name (see each
+file's parity line). Training schedules (epoch/lr/wd/param_dicts) are injected
+from `tools/ref_schedules.json` — values extracted from the reference's own
+resolved configs by tools/extract_ref_schedules.py — for every file whose
+relpath exists in the reference; files without a reference counterpart keep
+the family recipe's simplified schedule. The corpus test
+(tests/test_configs_corpus.py) checks that every file parses and resolves its
+registry types.
 """
 
 import os
@@ -1039,8 +1044,7 @@ emit(
     + """_base_ = ["./pretrain-concerto-v1m1-0-base.py"]
 
 model = dict(
-    backbone_out_channels=1664,
-    head_in_channels=1536,
+    head_in_channels=1728,  # full up-cast concat width of the large encoder
     backbone=dict(
         in_channels=9,
         enc_channels=(64, 128, 256, 512, 768),
@@ -1998,18 +2002,81 @@ data = dict(
     emit(f"configs/_base_/dataset/{name}.py", body)
 
 
+def _pyfmt(v):
+    """python literal source for schedule values (dicts -> dict(...) calls)."""
+    if isinstance(v, dict):
+        items = ", ".join(f"{k}={_pyfmt(x)}" for k, x in v.items())
+        return f"dict({items})"
+    if isinstance(v, list):
+        return "[" + ", ".join(_pyfmt(x) for x in v) + "]"
+    return repr(v)
+
+
+def apply_ref_schedules():
+    """Append reference-extracted training schedules to emitted configs.
+
+    `tools/ref_schedules.json` (built by tools/extract_ref_schedules.py from
+    the reference tree) carries the resolved epoch/eval_epoch/optimizer/
+    scheduler/param_dicts of every reference config sharing a relpath with an
+    emitted file. Appending the resolved values (with `_delete_=True` on the
+    dicts) makes the final merged schedule equal the reference's regardless of
+    what the family recipe or `_base_` chain set above.
+    """
+    import json
+
+    sched_path = os.path.join(REPO, "tools", "ref_schedules.json")
+    if not os.path.exists(sched_path):
+        print("no ref_schedules.json; skipping schedule parity injection")
+        return
+    with open(sched_path) as f:
+        schedules = json.load(f)
+    n = 0
+    for rel in list(FILES):
+        entry = schedules.get(rel)
+        if not entry:
+            continue
+        lines = [
+            "",
+            "# --- training schedule: extracted from the reference config of the same",
+            "# name (tools/ref_schedules.json via tools/extract_ref_schedules.py) ---",
+        ]
+        for key in ("epoch", "eval_epoch"):
+            if entry.get(key) is not None:
+                lines.append(f"{key} = {entry[key]}")
+        for key in ("optimizer", "scheduler"):
+            if entry.get(key) is not None:
+                d = dict(entry[key])
+                d.pop("_delete_", None)
+                lines.append(f"{key} = dict(_delete_=True, " + _pyfmt(d)[5:])
+        if "param_dicts" in entry:
+            lines.append(f"param_dicts = {_pyfmt(entry['param_dicts'])}")
+        FILES[rel] = FILES[rel].rstrip() + "\n" + "\n".join(lines) + "\n"
+        n += 1
+    print(f"injected reference schedules into {n} configs")
+
+
 def main():
-    n_new = 0
+    import sys
+
+    force = "--force" in sys.argv
+    apply_ref_schedules()
+    n_new = n_over = 0
     for rel, text in sorted(FILES.items()):
         path = os.path.join(REPO, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         if os.path.exists(path):
-            print(f"skip (exists): {rel}")
-            continue
+            with open(path) as f:
+                if f.read() == text:
+                    continue
+            if not force:
+                print(f"skip (exists, differs — rerun with --force): {rel}")
+                continue
+            n_over += 1
+        else:
+            n_new += 1
         with open(path, "w") as f:
             f.write(text)
-        n_new += 1
-    print(f"wrote {n_new} configs ({len(FILES)} planned)")
+    print(f"wrote {n_new} new + {n_over} updated configs ({len(FILES)} planned)")
 
 
 if __name__ == "__main__":
