@@ -65,6 +65,9 @@ def ptv3_base_cfg(on_tpu: bool):
             # ~1820/467/~115 per stage
             pool_capacity_factors=(0.35, 0.25, 0.25, 0.25),
             conv_engine="block",
+            # scene-blocked static regions: patch attention = fixed windows
+            # (no qkv slot gathers / partition index builds at B>1)
+            scene_blocked=os.environ.get("BENCH_SCENE_BLOCKED", "1") == "1",
             # 4^3 blocks: ~2.3x less dense-conv FLOP redundancy than 8^3 at
             # ScanNet densities; occupancy measured 1/15 (stage0) to 1/21
             # (pooled stages) of the stage capacity, +~25-30% margin

@@ -143,13 +143,29 @@ class SerializedAttention(nn.Module):
         c = self.channels
         h = self.num_heads
         scale = self.qk_scale or (c // h) ** -0.5
-        slot_to_point, point_to_slot, *rest = partition
-        identity_layout = bool(rest[0]) if rest else False
+        # scene-blocked window mode (PointBatch.scene_capacity): patches are
+        # fixed windows of the physical layout; non-0 orders rebase the stream
+        # with one [N, C] permutation instead of qkv slot gathers + partitions
+        win = isinstance(partition, dict) and partition.get("kind") == "window"
+        win_order = None
+        if win:
+            assert not self.enable_rpe, "window attention has no RPE path"
+            win_order, win_inverse = partition.get("order"), partition.get("inverse")
+            if win_order is not None and self.rope_base and coord is not None:
+                coord = jnp.take(coord, win_order, axis=0)
+        else:
+            slot_to_point, point_to_slot, *rest = partition
+            identity_layout = bool(rest[0]) if rest else False
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=conv_kernel_init, name="qkv")(feat)
         if self.lora_rank > 0:
             a = self.param("lora_a", nn.initializers.normal(0.02), (c, self.lora_rank))
             b = self.param("lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c))
             qkv = qkv + (feat @ a) @ b
+        if win and win_order is not None:
+            # rebase the stream AFTER the qkv projection: [N, 3C] rows gather at
+            # full row-streaming rate, while the narrow [N, C] feat rows of the
+            # 32-ch stages gather ~2.5x slower per row (sub-64-lane packing)
+            qkv = permute_rows(qkv, win_order, win_inverse)
         if self.rope_base and coord is not None:
             from pointcept_tpu.ops.pointrope import point_rope
 
@@ -180,23 +196,43 @@ class SerializedAttention(nn.Module):
             q = point_rope(q, pos, freq=self.rope_base)[0].transpose(1, 0, 2)
             k = point_rope(k, pos, freq=self.rope_base)[0].transpose(1, 0, 2)
             qkv = jnp.stack([q, k, qkv4[:, 2]], axis=1).reshape(n, 3 * c)
-        bias = None
-        if self.enable_rpe:
-            k = self.patch_size
-            g = jnp.take(grid_coord, slot_to_point, axis=0).reshape(-1, k, 3)
-            rel = g[:, :, None, :] - g[:, None, :, :]
-            bias = RPE(self.patch_size, h, name="rpe")(rel)
-        out = patch_attention(
-            qkv,
-            slot_to_point,
-            point_to_slot,
-            num_heads=h,
-            patch_size=self.patch_size,
-            scale=scale,
-            bias=bias,
-            identity_layout=identity_layout,
-            valid_n=valid_n,
-        )
+        if win:
+            from pointcept_tpu.ops.attention import window_attention
+
+            out = window_attention(
+                qkv,
+                partition["counts"],
+                partition["cap"],
+                num_heads=h,
+                patch_size=self.patch_size,
+                scale=scale,
+            )
+            if win_order is not None:
+                if c < 64:
+                    # pad to 64 lanes: sub-64-lane row gathers run ~2.5x slower
+                    # per row than full-tile rows (profiled on the bench)
+                    outp = jnp.concatenate([out, jnp.zeros_like(out)], axis=1)
+                    out = permute_rows(outp, win_inverse, win_order)[:, :c]
+                else:
+                    out = permute_rows(out, win_inverse, win_order)
+        else:
+            bias = None
+            if self.enable_rpe:
+                k = self.patch_size
+                g = jnp.take(grid_coord, slot_to_point, axis=0).reshape(-1, k, 3)
+                rel = g[:, :, None, :] - g[:, None, :, :]
+                bias = RPE(self.patch_size, h, name="rpe")(rel)
+            out = patch_attention(
+                qkv,
+                slot_to_point,
+                point_to_slot,
+                num_heads=h,
+                patch_size=self.patch_size,
+                scale=scale,
+                bias=bias,
+                identity_layout=identity_layout,
+                valid_n=valid_n,
+            )
         out = nn.Dense(c, kernel_init=conv_kernel_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
@@ -304,6 +340,10 @@ class SerializedPooling(nn.Module):
     reduce: str = "max"
     shuffle_orders: bool = True
     pd: PDCfg = None
+    # scene-blocked layout: per-scene pooled capacity (out_capacity = S * scene_out);
+    # cluster ranks are assigned per scene so the pooled stage keeps static
+    # scene regions (see PointBatch.scene_capacity)
+    scene_out: Optional[int] = None
     # order names: when given (and orders are unshuffled, i.e. `needed` is not
     # None), pooled keys are RE-ENCODED from the pooled grid instead of
     # gathered from the input keys — curve codes are hierarchical
@@ -340,19 +380,54 @@ class SerializedPooling(nn.Module):
             valid_sorted = pb.batch[order0] >= 0
         prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
         head = valid_sorted & ~prev_eq
-        cluster_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+        sb = pb.scene_capacity is not None and self.scene_out is not None
+        if sb:
+            # scene-blocked: rank clusters WITHIN each scene so the pooled
+            # layout keeps static scene regions of scene_out rows. The
+            # per-scene overflow slot (u = scene_out + 1 segments per scene)
+            # keeps segment ids non-decreasing across the scene-tail padding.
+            S = pb.num_scenes
+            cs_in = pb.scene_capacity
+            ms = self.scene_out
+            assert m == S * ms and n == S * cs_in
+            cnt = jnp.cumsum(head.astype(jnp.int32))  # inclusive
+            bnd = np.arange(S) * cs_in
+            base = jnp.where(
+                jnp.asarray(bnd) > 0, cnt[np.maximum(bnd - 1, 0)], 0
+            )  # heads before each scene
+            srow = jnp.arange(n, dtype=jnp.int32) // cs_in
+            rank_in = (cnt - 1) - base[srow]
+            ok = valid_sorted & (rank_in < ms)
+            cluster_sorted = srow * ms + rank_in
+            u = ms + 1
+            seg_ids = srow * u + jnp.where(
+                valid_sorted, jnp.minimum(rank_in, ms), ms
+            )  # non-decreasing, overflow/padding -> per-scene slot ms
+            nseg = S * u
+
+            def compact(x):  # [S*u(,C)] -> [S*ms(,C)]
+                return x.reshape((S, u) + x.shape[1:])[:, :ms].reshape((m,) + x.shape[1:])
+
+            overflow = jnp.sum((valid_sorted & (rank_in >= ms)).astype(jnp.int32))
+        else:
+            cluster_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+            ok = valid_sorted & (cluster_sorted < m)
+            seg_ids = jnp.where(ok, cluster_sorted, m)
+            nseg = m
+
+            def compact(x):
+                return x
+
+            overflow = jnp.sum((valid_sorted & (cluster_sorted >= m)).astype(jnp.int32))
         # per-input-point cluster id (M = dropped/padding). NO scatters here:
         # TPU scatters serialize, so everything routes through gathers and one
         # compaction sort.
-        cl_sorted = jnp.where(valid_sorted & (cluster_sorted < m), cluster_sorted, m)
+        cl_sorted = jnp.where(ok, cluster_sorted, m)
         if self.is_mutable_collection("diagnostics") and not self.is_initializing():
             # clusters beyond out_capacity vanish from the pooled stage;
             # surface the dropped-point count so capacity mis-sizing is
             # visible in metrics (opt-in: eval graph unchanged)
-            self.sow(
-                "diagnostics", "pool_overflow",
-                jnp.sum((valid_sorted & (cluster_sorted >= m)).astype(jnp.int32)),
-            )
+            self.sow("diagnostics", "pool_overflow", overflow)
         cluster_of_point = (
             cl_sorted if identity_order0 else jnp.take(cl_sorted, inverse0, axis=0)
         )
@@ -360,29 +435,35 @@ class SerializedPooling(nn.Module):
         proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
         # reduce in the sorted layout: cluster ids are non-decreasing there
         proj_sorted = proj if identity_order0 else permute_rows(proj, order0, inverse0)
-        feat = segment_reduce(proj_sorted, cl_sorted, m, reduce=self.reduce, indices_are_sorted=True)
+        feat = compact(segment_reduce(proj_sorted, seg_ids, nseg, reduce=self.reduce, indices_are_sorted=True))
         coord_sorted = pb.coord if identity_order0 else jnp.take(pb.coord, order0, axis=0)
-        coord = segment_reduce(coord_sorted, cl_sorted, m, reduce="mean", indices_are_sorted=True)
+        coord = compact(segment_reduce(coord_sorted, seg_ids, nseg, reduce="mean", indices_are_sorted=True))
         origin_sorted = (
             None if pb.origin_coord is None
             else (pb.origin_coord if identity_order0 else jnp.take(pb.origin_coord, order0, axis=0))
         )
         origin_coord = (
-            segment_reduce(origin_sorted, cl_sorted, m, reduce="mean", indices_are_sorted=True)
+            compact(segment_reduce(origin_sorted, seg_ids, nseg, reduce="mean", indices_are_sorted=True))
             if origin_sorted is not None
             else None
         )
 
         # head compaction: ONE sort gives each cluster's head position; every
         # head attribute is then a gather
-        head_rank = jnp.where(head & (cluster_sorted < m), cluster_sorted, jnp.int32(n))
-        hr, hpos = jax.lax.sort((head_rank, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
-        if m > n:  # capacity can exceed the input point count in tiny configs
-            hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
-            hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
-        head_valid = hr[:m] < n
+        if sb:
+            from pointcept_tpu.ops.segment_ops import scene_compaction
+
+            head_valid, hsel = scene_compaction(head, cnt, S, cs_in, ms)
+        else:
+            head_rank = jnp.where(head & ok, cluster_sorted, jnp.int32(n))
+            hr, hpos = jax.lax.sort((head_rank, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
+            if m > n:  # capacity can exceed the input point count in tiny configs
+                hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
+                hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
+            head_valid = hr[:m] < n
+            hsel = hpos[:m]
         # point id of each cluster head
-        head_point = hpos[:m] if identity_order0 else jnp.take(order0, hpos[:m], axis=0)
+        head_point = hsel if identity_order0 else jnp.take(order0, hsel, axis=0)
         grid = jnp.where(head_valid[:, None], jnp.take(pb.grid_coord, head_point, axis=0) >> pdepth, 0)
         batch = jnp.where(head_valid, jnp.take(pb.batch, head_point, axis=0), -1)
         seg = None
@@ -392,21 +473,36 @@ class SerializedPooling(nn.Module):
         # per-order pooled keys = shifted key of the cluster head point; with
         # `reencode`, identically re-encoded from the pooled grid (hierarchical
         # curve codes) for exactly the orders read at the pooled stage
-        sentinel_row = jnp.asarray([ser.BATCH_SENTINEL, 0, 0], jnp.int32)
+        iota_m = jnp.arange(m, dtype=jnp.int32)
+        if sb:
+            # scene-blocked padding keys: (scene, MAX, MAX) sorts to the scene
+            # tail, preserving static scene regions at the pooled stage
+            imax = jnp.int32(2**31 - 1)
+            slot_scene = iota_m // self.scene_out
+            sentinel_rows = jnp.stack(
+                [slot_scene, jnp.full_like(slot_scene, imax), jnp.full_like(slot_scene, imax)],
+                axis=-1,
+            )
+            kb_m = jnp.where(batch >= 0, batch, slot_scene).astype(jnp.int32)
+        else:
+            sentinel_rows = jnp.broadcast_to(
+                jnp.asarray([ser.BATCH_SENTINEL, 0, 0], jnp.int32), (m, 3)
+            )
+            kb_m = jnp.where(batch >= 0, batch, ser.BATCH_SENTINEL).astype(jnp.int32)
         new_keys = []
         new_order = []
         new_inverse = []
-        iota_m = jnp.arange(m, dtype=jnp.int32)
-        kb_m = jnp.where(batch >= 0, batch, ser.BATCH_SENTINEL).astype(jnp.int32)
         for i in range(s):
             if reencode:
                 if i == 0 or i in needed:
                     ki = ser.encode(grid, kb_m, pb.serialized_depth - pdepth, self.orders[i])
+                    if sb:
+                        ki = jnp.where(head_valid[:, None], ki, sentinel_rows)
                 else:
                     ki = new_keys[0]  # placeholder — never read (see needed)
             else:
                 ki = jnp.where(
-                    head_valid[:, None], jnp.take(shifted[i], head_point, axis=0), sentinel_row[None, :]
+                    head_valid[:, None], jnp.take(shifted[i], head_point, axis=0), sentinel_rows
                 )
             new_keys.append(ki)
             if i == 0:
@@ -442,6 +538,7 @@ class SerializedPooling(nn.Module):
             serialized_inverse=new_inverse,
             serialized_depth=pb.serialized_depth - pdepth,
             num_scenes=pb.num_scenes,
+            scene_capacity=self.scene_out if sb else None,
         )
         out = out.replace(feat=nn.gelu(apply_bn("norm", self.pd, out.feat, out.mask, train, out)))
         if self.shuffle_orders and shuffle_key is not None:
@@ -588,6 +685,14 @@ class PointTransformerV3(nn.Module):
     # physically pin the batch to z-order after serialization: order 0 becomes
     # the identity so fills/attention/pooling need no per-point gathers
     sorted_layout: bool = True
+    # scene-blocked layout: pad each scene to capacity/num_scenes rows with
+    # per-scene sort sentinels so every stage keeps STATIC scene regions.
+    # Patch attention becomes fixed windows (no slot gathers / partition index
+    # arrays at any batch size); non-0 orders rebase the stream with one
+    # permutation. Requires sorted_layout, no shuffle, no RPE, and
+    # capacity % num_scenes == 0 with per-scene capacity % patch_size == 0
+    # (falls back to the gather path otherwise).
+    scene_blocked: bool = False
     # stages smaller than this fall back to gather-GEMM maps even under
     # conv_engine="block": dense blocks are mostly empty at coarse resolutions
     block_engine_min_points: int = 8192
@@ -644,6 +749,19 @@ class PointTransformerV3(nn.Module):
         sorted_ok = (
             self.sorted_layout and geo is None and not self.enc_mode and not shuffle_active
         )
+        # scene-blocked mode: static per-stage scene regions (see class doc)
+        patch_align = max(tuple(self.enc_patch_size) + tuple(self.dec_patch_size))
+        sb = (
+            self.scene_blocked
+            and sorted_ok
+            and not self.enable_rpe
+            and orders[0] == "z"
+            and pb.capacity % pb.num_scenes == 0
+            and (pb.capacity // pb.num_scenes) % patch_align == 0
+            and patch_align % 128 == 0
+        )
+        if sb:
+            pb = pb.replace(scene_capacity=pb.capacity // pb.num_scenes)
         unsort = None
         if geo is None:
             pb = pb.serialize(
@@ -681,7 +799,12 @@ class PointTransformerV3(nn.Module):
             f = self.block_capacity_factor
             if isinstance(f, (tuple, list)):
                 f = f[min(stage, len(f) - 1)]
-            m = default_block_capacity(pb.capacity, f)
+            if sb:
+                mb_s = default_block_capacity(pb.scene_capacity, f)
+                m = pb.num_scenes * mb_s
+            else:
+                mb_s = None
+                m = default_block_capacity(pb.capacity, f)
             # order index 0 is the config's first order unless shuffling is
             # active (then it could be any curve -> tables re-sort by z inside)
             curve_is_z = (not shuffle_active) and orders[0] == "z"
@@ -693,6 +816,8 @@ class PointTransformerV3(nn.Module):
                 curve_is_z=curve_is_z,
                 identity_order0=curve_is_z and ident0(stage),
                 count_overflow=diag,
+                scene_capacity=pb.scene_capacity if sb else None,
+                scene_block_capacity=mb_s,
             )
             if diag:
                 # points in overflowed blocks get zero conv output; surface the
@@ -740,10 +865,26 @@ class PointTransformerV3(nn.Module):
             else:
                 depth_s = self.serialize_depth - stage
                 nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
-            parts = {
-                oi: pb.patch_partition(oi, patch_size) + (oi == 0 and ident0(stage) and pb.num_scenes == 1,)
-                for oi in used_orders(stage)
-            }
+            if sb:
+                # scene-blocked: fixed windows, no partition index arrays.
+                # Order 0 is the physical layout (ident0 holds at every stage);
+                # other orders rebase the stream by their permutation.
+                counts = pb.scene_counts()
+                parts = {
+                    oi: dict(
+                        kind="window",
+                        counts=counts,
+                        cap=pb.scene_capacity,
+                        order=None if oi == 0 else pb.serialized_order[oi],
+                        inverse=None if oi == 0 else pb.serialized_inverse[oi],
+                    )
+                    for oi in used_orders(stage)
+                }
+            else:
+                parts = {
+                    oi: pb.patch_partition(oi, patch_size) + (oi == 0 and ident0(stage) and pb.num_scenes == 1,)
+                    for oi in used_orders(stage)
+                }
             return dict(nbr3=nbr3, parts=parts)
 
         def pool_pre(stage):
@@ -761,9 +902,19 @@ class PointTransformerV3(nn.Module):
             return d
 
         cap = pb.capacity
+        cap_s_scene = pb.scene_capacity
         for s in range(num_stages):
             if s > 0:
-                cap = _round_up(max(int(math.ceil(cap * self.pool_capacity_factors[s - 1])), 128), 128)
+                if sb:
+                    # per-scene capacities aligned to the patch size keep the
+                    # pooled stage scene-blocked
+                    cap_s_scene = _round_up(
+                        max(int(math.ceil(cap_s_scene * self.pool_capacity_factors[s - 1])), patch_align),
+                        patch_align,
+                    )
+                    cap = pb.num_scenes * cap_s_scene
+                else:
+                    cap = _round_up(max(int(math.ceil(cap * self.pool_capacity_factors[s - 1])), 128), 128)
                 skip_pb = pb
                 pb, cluster = SerializedPooling(
                     out_channels=self.enc_channels[s],
@@ -773,6 +924,7 @@ class PointTransformerV3(nn.Module):
                     shuffle_orders=self.shuffle_orders,
                     pd=pd,
                     orders=orders,
+                    scene_out=cap_s_scene if sb else None,
                     name=f"enc{s}_down",
                 )(pb, train, rng_or_none("shuffle"), pre=pool_pre(s),
                   needed=None if shuffle_active else used_orders(s),
@@ -840,7 +992,8 @@ class PointTransformerV3(nn.Module):
                 # longer describes the layout
                 pb = pb.reorder(unsort[0], unsort[1], rebase_orders=(), rebase_keys=False)
                 pb = pb.replace(
-                    serialized_keys=None, serialized_order=None, serialized_inverse=None
+                    serialized_keys=None, serialized_order=None, serialized_inverse=None,
+                    scene_capacity=None,
                 )
             return pb
         # enc_mode: expose the skip chain for SSL up_cast (reference enc_mode

@@ -136,6 +136,91 @@ def patch_attention(
     return jnp.take(out, point_to_slot, axis=0).astype(qkv.dtype)  # [N, C]
 
 
+def window_attention(
+    qkv: jnp.ndarray,  # [N, 3*C] in the layout of the attended order
+    scene_counts: jnp.ndarray,  # [S] valid points per scene
+    scene_capacity: int,
+    num_heads: int,
+    patch_size: int,
+    scale: Optional[float] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Patch attention over the scene-blocked layout (PointBatch.scene_capacity).
+
+    Scene s occupies rows [s*scene_capacity, (s+1)*scene_capacity); its first
+    n_s rows are valid, the rest padding. scene_capacity % patch_size == 0, so
+    patches are FIXED windows — no slot gathers, no partition index arrays.
+    The reference's tail-duplication rule (`get_padding_and_inverse`,
+    point_transformer_v3m1_base.py:141-158) is reproduced by one K-row dynamic
+    window splice per scene: rows [n_s, ceil(n_s/K)*K) read row-K-earlier, so
+    the scene's last partial patch sees exactly the duplicate keys the
+    reference pads with. Scenes smaller than one patch wrap cyclically.
+    Outputs at padding rows are garbage (discarded by masked consumers).
+    """
+    n, c3 = qkv.shape
+    c = c3 // 3
+    h = num_heads
+    d = c // h
+    K = patch_size
+    S = scene_counts.shape[0]
+    assert n == S * scene_capacity and scene_capacity % K == 0
+    if scale is None:
+        scale = d**-0.5
+    qb = qkv.astype(compute_dtype)
+    for s in range(S):
+        base = s * scene_capacity
+        n_s = scene_counts[s]
+        # splice the dup window at dest = min(n_s, cap-K): rows [dest, n_s)
+        # keep their own values, rows [n_s, dest+K) read row-K-earlier. The
+        # min() keeps the static-size window inside the scene region even for
+        # full / nearly-full scenes.
+        dest = jnp.minimum(n_s, scene_capacity - K)
+        w_cur = jax.lax.dynamic_slice(qb, (base + dest, 0), (K, c3))
+        w_prev = jax.lax.dynamic_slice(qb, (base + jnp.maximum(dest - K, 0), 0), (K, c3))
+        ii = jnp.arange(K, dtype=jnp.int32)[:, None]
+        content = jnp.where(ii < n_s - dest, w_cur, w_prev)
+        # n_s < K: the scene's only live patch wraps cyclically (reference
+        # pads o % n_s); fix patch 0 of the scene with a K-row clip-gather
+        wrap = jnp.take(
+            qb,
+            base + (jnp.arange(K, dtype=jnp.int32) % jnp.maximum(n_s, 1)),
+            axis=0,
+        )
+        small = n_s < K
+        content = jnp.where(small, wrap, content)
+        dest = jnp.where(small, 0, dest)
+        qb = jax.lax.dynamic_update_slice(qb, content, (base + dest, 0))
+    np_ = n // K
+    if _pallas_available() and K >= 128 and d <= 128 and c <= 128:
+        from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention_kmajor
+
+        out5 = flash_patch_attention_kmajor(qb.reshape(np_, K, 3, h, d), scale=scale)
+        return out5.reshape(n, c).astype(qkv.dtype)
+    if _pallas_available() and K >= 128 and d <= 128:
+        # wide channels (C > 128): split per-(patch, head) flash kernel
+        from pointcept_tpu.ops.pallas.flash_attention import flash_patch_attention
+
+        qkv_p = qb.reshape(np_, K, 3, h, d)
+        out = flash_patch_attention(
+            qkv_p[:, :, 0].transpose(0, 2, 1, 3),
+            qkv_p[:, :, 1].transpose(0, 2, 1, 3),
+            qkv_p[:, :, 2].transpose(0, 2, 1, 3),
+            scale=scale,
+        )  # [nP, H, K, D]
+        return out.transpose(0, 2, 1, 3).reshape(n, c).astype(qkv.dtype)
+    qkv_p = qb.reshape(np_, K, 3, h, d)
+    q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)
+    kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
+    prec = jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    attn = jnp.einsum(
+        "phkd,phmd->phkm", q * scale, kk, preferred_element_type=jnp.float32, precision=prec
+    )
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(compute_dtype)
+    out = jnp.einsum("phkm,phmd->phkd", attn, v, preferred_element_type=jnp.float32, precision=prec)
+    return out.transpose(0, 2, 1, 3).reshape(n, c).astype(qkv.dtype)
+
+
 def _pallas_available() -> bool:
     import jax
 

@@ -58,6 +58,8 @@ def build_block_tables(
     curve_is_z: bool = True,
     identity_order0: bool = False,
     count_overflow: bool = False,
+    scene_capacity: Optional[int] = None,
+    scene_block_capacity: Optional[int] = None,
 ) -> dict:
     """In-graph block structure from the existing serialization.
 
@@ -103,8 +105,24 @@ def build_block_tables(
         valid_sorted = mask[order0]
     prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
     head = valid_sorted & ~prev_eq
-    rank_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
-    rank_ok = valid_sorted & (rank_sorted < m)
+    if scene_capacity is not None:
+        # scene-blocked layout (PointBatch.scene_capacity): blocks get
+        # PER-SCENE ranks so the dense tensor keeps static scene regions of
+        # scene_block_capacity rows each — fill windows then never span the
+        # scene-tail padding gaps of the sorted layout.
+        assert identity_order0 and curve_is_z, "scene-blocked tables need the pinned z layout"
+        mb_s = scene_block_capacity
+        S = n // scene_capacity
+        assert mb_s is not None and m == S * mb_s
+        cnt = jnp.cumsum(head.astype(jnp.int32))  # inclusive
+        bnd = np.arange(S) * scene_capacity
+        base = jnp.where(jnp.asarray(bnd) > 0, cnt[np.maximum(bnd - 1, 0)], 0)
+        srow = jnp.arange(n, dtype=jnp.int32) // scene_capacity
+        rank_sorted = (cnt - 1) - base[srow] + srow * mb_s
+        rank_ok = valid_sorted & ((cnt - 1) - base[srow] < mb_s)
+    else:
+        rank_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+        rank_ok = valid_sorted & (rank_sorted < m)
     if identity_order0:
         rank_of_point = jnp.where(rank_ok, rank_sorted, m)
     else:
@@ -117,17 +135,35 @@ def build_block_tables(
         mlocal_sorted = jnp.take(keys0[:, 2], order0, axis=0) & (b3 - 1)
 
     # block attribute compaction: ONE sort -> position of each block's head
-    head_rank = jnp.where(head & (rank_sorted < m), rank_sorted, jnp.int32(n))
-    hr, hpos = jax.lax.sort((head_rank, pos), num_keys=1, is_stable=False)
-    if m > n:  # block capacity can exceed the point count in tiny configs
-        hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
-        hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
-    block_valid = hr[:m] < n
-    head_point = hpos[:m] if identity_order0 else jnp.take(order0, hpos[:m], axis=0)
+    if scene_capacity is not None:
+        from pointcept_tpu.ops.segment_ops import scene_compaction
+
+        block_valid, hsel = scene_compaction(head, cnt, S, scene_capacity, mb_s)
+    else:
+        head_rank = jnp.where(head & rank_ok, rank_sorted, jnp.int32(n))
+        hr, hpos = jax.lax.sort((head_rank, pos), num_keys=1, is_stable=False)
+        if m > n:  # block capacity can exceed the point count in tiny configs
+            hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
+            hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
+        block_valid = hr[:m] < n
+        hsel = hpos[:m]
+    head_point = hsel if identity_order0 else jnp.take(order0, hsel, axis=0)
     block_grid = jnp.where(block_valid[:, None], jnp.take(grid_coord, head_point, axis=0) >> bb, 0)
-    sentinel_row = jnp.asarray([int(ser.BATCH_SENTINEL), 0, 0], jnp.int32)
+    if scene_capacity is not None:
+        # per-scene sentinels keep the lex table ascending despite the invalid
+        # rank slots interspersed at scene tails
+        imax = jnp.int32(2**31 - 1)
+        slot_scene = jnp.arange(m, dtype=jnp.int32) // scene_block_capacity
+        sentinel_rows = jnp.stack(
+            [slot_scene, jnp.full_like(slot_scene, imax), jnp.full_like(slot_scene, imax)],
+            axis=-1,
+        )
+    else:
+        sentinel_rows = jnp.broadcast_to(
+            jnp.asarray([int(ser.BATCH_SENTINEL), 0, 0], jnp.int32), (m, 3)
+        )
     block_keys = jnp.where(
-        block_valid[:, None], jnp.take(sk, hpos[:m], axis=0), sentinel_row[None, :]
+        block_valid[:, None], jnp.take(sk, hsel, axis=0), sentinel_rows
     )  # [m, 3] sorted ascending (ranks were assigned in sorted order)
     block_batch = jnp.where(block_valid, block_keys[:, 0], -1)
 
@@ -159,7 +195,7 @@ def build_block_tables(
 
     # fill tables (built once per stage, reused by every conv): block b's
     # points sit CONTIGUOUSLY in the sorted order at [start_b, start_b+count_b)
-    start = jnp.where(block_valid, hpos[:m], 0)
+    start = jnp.where(block_valid, hsel, 0)
     nvalid_ok = jnp.sum(rank_ok.astype(jnp.int32))
     next_valid = jnp.concatenate([block_valid[1:], jnp.array([False])])
     next_start = jnp.concatenate([start[1:], jnp.zeros((1,), jnp.int32)])
