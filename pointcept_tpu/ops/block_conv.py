@@ -285,6 +285,99 @@ def _block_fill_bwd(b3, compute_dtype, identity, res, g):
 _block_fill.defvjp(_block_fill_fwd, _block_fill_bwd)
 
 
+def _halo_expand_flat(dense2: jnp.ndarray, nbr: jnp.ndarray, bsz: int, halo: int, c: int) -> jnp.ndarray:
+    """[R, B^3*C] -> [R, H^3*C] (H = B + 2*halo), raster x-major halo tiles.
+
+    Same 27-region assembly as `_halo_expand`, but every piece stays a flat
+    row-major 2-D/3-D array: gathers stream full rows, the nested z/y/x concats
+    reproduce the raster interleave via cheap reshapes, and the consumer (the
+    Pallas tap-conv kernel, ops/pallas/tap_conv.py) has a fixed row-major
+    layout — so XLA emits NO 5-D layout copies (the round-2b profile's 20.5%
+    layout/copy bucket came from `lax.conv`'s NDHWC tiling preferences)."""
+    if halo == 0:
+        return dense2
+    r = dense2.shape[0]
+    hsz = bsz + 2 * halo
+    d5 = dense2.reshape(r, bsz, bsz, bsz, c)
+    pieces_x = []
+    for a in (-1, 0, 1):
+        x0, x1 = _slab(a, bsz, halo)
+        sx = x1 - x0
+        pieces_y = []
+        for b in (-1, 0, 1):
+            y0, y1 = _slab(b, bsz, halo)
+            sy = y1 - y0
+            pieces_z = []
+            for cc in (-1, 0, 1):
+                z0, z1 = _slab(cc, bsz, halo)
+                sz = z1 - z0
+                sub = d5[:, x0:x1, y0:y1, z0:z1, :]
+                if (a, b, cc) == (0, 0, 0):
+                    src = sub
+                else:
+                    k = OFFS27.index((a, b, cc))
+                    src = jnp.take(sub.reshape(r, -1), nbr[:, k], axis=0).reshape(sub.shape)
+                pieces_z.append(src.reshape(r, sx * sy, sz * c))
+            pieces_y.append(jnp.concatenate(pieces_z, axis=2).reshape(r, sx, sy, hsz * c))
+        pieces_x.append(jnp.concatenate(pieces_y, axis=2).reshape(r, sx, hsz * hsz * c))
+    return jnp.concatenate(pieces_x, axis=1).reshape(r, hsz * hsz * hsz * c)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_conv(dense_flat, nbr_ext, weight, bsz: int, ksz: int, compute_dtype):
+    """Fused block conv: flat halo assembly + Pallas im2col tap-GEMM.
+
+    dense_flat [R*B^3, Cin] (output of `_block_fill`), nbr_ext [R, 27],
+    weight [k^3, Cin, Cout] -> [R*B^3, Cout]. The VJP is scatter-free:
+    d_dense is the SAME halo-expand + kernel applied to the output cotangent
+    with the flipped-transposed weight (cross-correlation duality on the same
+    neighbor table), dW accumulates im2col^T @ g in a second Pallas kernel.
+    """
+    from pointcept_tpu.ops.pallas.tap_conv import tap_conv
+
+    r = nbr_ext.shape[0]
+    b3 = bsz**3
+    cin = dense_flat.shape[1]
+    halo = (ksz - 1) // 2
+    dense2 = dense_flat.reshape(r, b3 * cin)
+    hal = _halo_expand_flat(dense2, nbr_ext, bsz, halo, cin)
+    return tap_conv(hal, weight, bsz, ksz, cin)
+
+
+def _fused_conv_fwd(dense_flat, nbr_ext, weight, bsz, ksz, compute_dtype):
+    out = _fused_conv(dense_flat, nbr_ext, weight, bsz, ksz, compute_dtype)
+    return out, (dense_flat, nbr_ext, weight)
+
+
+def _fused_conv_bwd(bsz, ksz, compute_dtype, res, g):
+    from pointcept_tpu.ops.pallas.tap_conv import tap_conv, tap_conv_dw
+
+    dense_flat, nbr_ext, weight = res
+    r = nbr_ext.shape[0]
+    b3 = bsz**3
+    cin = dense_flat.shape[1]
+    cout = weight.shape[-1]
+    k3 = ksz**3
+    halo = (ksz - 1) // 2
+    g = g.astype(compute_dtype)
+    # d_dense[p] = sum_d g[p + d - h] w[k-1-d]^T: same halo-expand + kernel on
+    # the cotangent tiles with index-reversed, channel-transposed weight
+    ghalo = _halo_expand_flat(g.reshape(r, b3 * cout), nbr_ext, bsz, halo, cout)
+    wflip = weight[::-1].transpose(0, 2, 1)  # [k^3, Cout, Cin], index-reversed
+    d_dense = tap_conv(ghalo, wflip, bsz, ksz, cout).astype(dense_flat.dtype)
+    # dW: recompute the forward halo (gathers are cheap; saving it would cost
+    # 3.4x the dense tensor in HBM across every conv of the step)
+    hal = _halo_expand_flat(
+        dense_flat.reshape(r, b3 * cin).astype(compute_dtype), nbr_ext, bsz, halo, cin
+    )
+    dw = tap_conv_dw(hal, g, bsz, ksz, cin).astype(weight.dtype)
+    d_nbr = np.zeros(nbr_ext.shape, jax.dtypes.float0)
+    return (d_dense, d_nbr, dw)
+
+
+_fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
+
+
 def _slab(a: int, bsz: int, halo: int):
     """Source x-range within the neighbor block at offset a for the halo tile."""
     if a == -1:
@@ -378,17 +471,37 @@ def block_subm_conv(
     nbr_ext = jnp.concatenate(
         [nbr, jnp.full((nrows - nb, nbr.shape[1]), nb, jnp.int32)], axis=0
     )
-    hal = _halo_expand(dense, nbr_ext, halo)  # [nb+1, B+2h, ..., cin]
-    w = weight.reshape(kernel_size, kernel_size, kernel_size, cin, cout).astype(compute_dtype)
-    # bf16 in/out: the TPU conv accumulates f32 internally; keeping operand and
-    # output dtypes equal avoids the mixed-dtype conv-VJP limitation
-    out = jax.lax.conv_general_dilated(
-        hal,
-        w,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )  # [nb+1, B, B, B, cout]
+    import os as _os
+
+    # engine default: the fused Pallas path on TPU, lax.conv elsewhere (the
+    # fused kernel runs in interpret mode off-TPU — numerically fine but far
+    # too slow for the CPU test suite; tests/test_tap_conv.py covers parity
+    # explicitly). BLOCK_CONV_LAX=1 / BLOCK_CONV_FUSED=1 force either engine.
+    use_lax = jax.devices()[0].platform != "tpu"
+    if _os.environ.get("BLOCK_CONV_FUSED", "0") == "1":
+        use_lax = False
+    if _os.environ.get("BLOCK_CONV_LAX", "0") == "1":
+        use_lax = True
+    if use_lax:
+        # legacy lax.conv path (kept for A/B benchmarking; the fused Pallas
+        # path below is numerically equivalent and avoids the NDHWC layout
+        # copies that bracketed every conv — see ops/pallas/tap_conv.py)
+        hal = _halo_expand(dense, nbr_ext, halo)  # [nb+1, B+2h, ..., cin]
+        w = weight.reshape(kernel_size, kernel_size, kernel_size, cin, cout).astype(compute_dtype)
+        # bf16 in/out: the TPU conv accumulates f32 internally; keeping operand
+        # and output dtypes equal avoids the mixed-dtype conv-VJP limitation
+        out = jax.lax.conv_general_dilated(
+            hal,
+            w,
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )  # [nb+1, B, B, B, cout]
+        out = out.reshape(nrows * b3, cout)
+    else:
+        out = _fused_conv(
+            dense.reshape(nrows * b3, cin), nbr_ext, weight, bsz, kernel_size, compute_dtype
+        )  # [nrows*b3, cout]
     # keep the dense tensor in compute dtype through the take-back: the conv
     # writes (and the layout copies + row gather move) HALF the bytes; the
     # f32 upcast happens on the compact [N, Cout] result where it fuses into

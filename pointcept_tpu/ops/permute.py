@@ -89,29 +89,27 @@ def gather_rows_packed(arrays, perm, inv):
 
 
 def _gather_packed_fwd(arrays, perm, inv):
-    out = _gather_packed_impl(arrays, perm)
-    meta = tuple((a.ndim, a.shape[1] if a.ndim == 2 else 1, a.dtype) for a in arrays)
-    return out, (inv, meta, perm.shape)
+    # residuals must be pure JAX types (dtype/shape meta is NOT allowed as a
+    # pytree leaf — it breaks the whole grad path); everything the backward
+    # needs is derivable from the cotangents, whose shapes/dtypes mirror the
+    # inputs one-to-one
+    return _gather_packed_impl(arrays, perm), inv
 
 
-def _gather_packed_bwd(res, cts):
-    inv, meta, perm_shape = res
+def _gather_packed_bwd(inv, cts):
     # pack cotangents (zeros for integer leaves), gather by the inverse
     ct_arrays = []
-    for ct, (ndim, k, dt) in zip(cts, meta):
-        if isinstance(ct, np.ndarray) and ct.dtype == jax.dtypes.float0:
-            shape = (inv.shape[0], k) if ndim == 2 else (inv.shape[0],)
-            ct = jnp.zeros(shape, jnp.float32)
-        ct_arrays.append(ct)
+    is_zero = []
+    for ct in cts:
+        f0 = isinstance(ct, np.ndarray) and ct.dtype == jax.dtypes.float0
+        is_zero.append(f0)
+        ct_arrays.append(jnp.zeros(ct.shape, jnp.float32) if f0 else ct)
     grads = _gather_packed_impl(tuple(ct_arrays), inv)
-    out = []
-    for g, (ndim, k, dt) in zip(grads, meta):
-        if jnp.issubdtype(dt, jnp.integer):
-            shape = (inv.shape[0], k) if ndim == 2 else (inv.shape[0],)
-            out.append(np.zeros(shape, jax.dtypes.float0))
-        else:
-            out.append(g)
-    zi = np.zeros(perm_shape, jax.dtypes.float0)
+    out = [
+        np.zeros(g.shape, jax.dtypes.float0) if f0 else g
+        for g, f0 in zip(grads, is_zero)
+    ]
+    zi = np.zeros(inv.shape, jax.dtypes.float0)
     return (tuple(out), zi, zi)
 
 

@@ -107,6 +107,93 @@ def segment_csr(src: torch.Tensor, indptr: torch.Tensor, reduce: str = "sum"):
 
 
 # ---------------------------------------------------------------------------
+# pointops (reference libs/pointops/functions: query/grouping/interpolation)
+# ---------------------------------------------------------------------------
+
+
+def _offsets_to_segments(offset: torch.Tensor):
+    ends = offset.long().tolist()
+    starts = [0] + ends[:-1]
+    return list(zip(starts, ends))
+
+
+def knn_query(k, xyz, offset, new_xyz=None, new_offset=None):
+    """Per-batch kNN: idx (n, k) int, dist (n, k) euclidean, ascending.
+    Mirrors reference `libs/pointops/functions/query.py::knn_query` (CUDA)."""
+    if new_xyz is None:
+        new_xyz, new_offset = xyz, offset
+    idx = torch.empty((new_xyz.shape[0], k), dtype=torch.long)
+    dist = torch.empty((new_xyz.shape[0], k), dtype=torch.float32)
+    for (s0, e0), (s1, e1) in zip(
+        _offsets_to_segments(offset), _offsets_to_segments(new_offset)
+    ):
+        d = torch.cdist(new_xyz[s1:e1], xyz[s0:e0])  # [nq, ns]
+        vals, loc = torch.topk(d, min(k, e0 - s0), dim=1, largest=False)
+        if vals.shape[1] < k:  # pad by repeating the last neighbor (CUDA pads 0)
+            pad = k - vals.shape[1]
+            vals = torch.cat([vals, vals[:, -1:].expand(-1, pad)], dim=1)
+            loc = torch.cat([loc, loc[:, -1:].expand(-1, pad)], dim=1)
+        idx[s1:e1] = loc + s0
+        dist[s1:e1] = vals
+    return idx.int(), dist
+
+
+def grouping(idx, feat, xyz, new_xyz=None, with_xyz=False):
+    """Reference `libs/pointops/functions/grouping.py::grouping` semantics:
+    gather feat rows (idx -1 -> zeros via a sentinel row), optionally prepend
+    masked relative xyz."""
+    if new_xyz is None:
+        new_xyz = xyz
+    m, nsample, c = idx.shape[0], idx.shape[1], feat.shape[1]
+    xyz_p = torch.cat([xyz, torch.zeros(1, 3)], dim=0)
+    feat_p = torch.cat([feat, torch.zeros(1, c)], dim=0)
+    gf = feat_p[idx.view(-1).long()].view(m, nsample, c)
+    if not with_xyz:
+        return gf
+    mask = torch.sign(idx + 1).to(gf.dtype)
+    gx = xyz_p[idx.view(-1).long()].view(m, nsample, 3) - new_xyz.unsqueeze(1)
+    return torch.cat((gx * mask.unsqueeze(-1), gf), dim=-1)
+
+
+def interpolation(xyz, new_xyz, feat, offset, new_offset, k=3):
+    """Inverse-distance-weighted kNN interpolation (reference
+    `libs/pointops/functions/interpolation.py::interpolation`)."""
+    idx, dist = knn_query(k, xyz, offset, new_xyz, new_offset)
+    dist_recip = 1.0 / (dist + 1e-8)
+    weight = dist_recip / dist_recip.sum(dim=1, keepdim=True)
+    out = torch.zeros((new_xyz.shape[0], feat.shape[1]), dtype=feat.dtype)
+    for i in range(k):
+        out += feat[idx[:, i].long()] * weight[:, i : i + 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch_geometric.nn.pool.voxel_grid
+# ---------------------------------------------------------------------------
+
+
+def voxel_grid(pos, size, batch=None, start=None, end=None):
+    """Injective voxel cluster ids (consumers only run torch.unique over them,
+    `point_transformer_v2m2_base.py:257-262`)."""
+    if not torch.is_tensor(size):
+        size = torch.tensor(size, dtype=pos.dtype)
+    size = size.expand(pos.shape[1]) if size.ndim == 0 else size
+    if start is None:
+        start = pos.min(dim=0).values
+    elif not torch.is_tensor(start):
+        start = torch.tensor(start, dtype=pos.dtype).expand(pos.shape[1])
+    c = torch.div(pos - start, size, rounding_mode="floor").long()
+    c = c - c.min(dim=0).values
+    dims = c.max(dim=0).values + 1
+    lin = c[:, 0]
+    for d in range(1, pos.shape[1]):
+        lin = lin * dims[d] + c[:, d]
+    if batch is not None:
+        lin = batch.long() * int(dims.prod()) + lin
+    return lin
+
+
+# ---------------------------------------------------------------------------
 # spconv.pytorch
 # ---------------------------------------------------------------------------
 
@@ -341,8 +428,22 @@ def install() -> None:
     tg_utils.scatter = tg_scatter
     tg.utils = tg_utils
     tg.__fake__ = True
+    tg_nn = types.ModuleType("torch_geometric.nn")
+    tg_pool = types.ModuleType("torch_geometric.nn.pool")
+    tg_pool.voxel_grid = voxel_grid
+    tg_nn.pool = tg_pool
+    tg.nn = tg_nn
     sys.modules.setdefault("torch_geometric", tg)
     sys.modules.setdefault("torch_geometric.utils", tg_utils)
+    sys.modules.setdefault("torch_geometric.nn", tg_nn)
+    sys.modules.setdefault("torch_geometric.nn.pool", tg_pool)
+
+    po = types.ModuleType("pointops")
+    po.knn_query = knn_query
+    po.grouping = grouping
+    po.interpolation = interpolation
+    po.__fake__ = True
+    sys.modules.setdefault("pointops", po)
 
     spconv = types.ModuleType("spconv")
     spconv.__fake__ = True

@@ -1,0 +1,165 @@
+"""Preprocessing-converter tests on tiny synthetic raw samples.
+
+Each reference `datasets/preprocessing/*` family must have a working repo
+counterpart drivable end-to-end on synthetic inputs (VERDICT r2 #6). Here:
+hm3d (GLB mesh sampling + semantic-texture labels + top-N filter).
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# tiny GLB builder (standard binary glTF 2.0 container)
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(rgb, size=8):
+    from PIL import Image
+    import io
+
+    img = Image.new("RGB", (size, size), tuple(rgb))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def build_glb(path, node_name, tex_rgb, z=0.0, side=2.0):
+    """One textured quad (2 triangles) of area side^2 at height z."""
+    pos = np.array(
+        [[0, 0, z], [side, 0, z], [side, side, z], [0, side, z]], np.float32
+    )
+    uv = np.array([[0.5, 0.5]] * 4, np.float32)  # all samples hit one texel
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    png = _png_bytes(tex_rgb)
+
+    def pad4(b, fill=b"\x00"):
+        return b + fill * (-len(b) % 4)
+
+    pos_b, uv_b, idx_b, png_b = pos.tobytes(), uv.tobytes(), pad4(idx.tobytes()), pad4(png)
+    blob = pos_b + uv_b + idx_b + png_b
+    views = [
+        dict(buffer=0, byteOffset=0, byteLength=len(pos_b)),
+        dict(buffer=0, byteOffset=len(pos_b), byteLength=len(uv_b)),
+        dict(buffer=0, byteOffset=len(pos_b) + len(uv_b), byteLength=len(idx_b)),
+        dict(
+            buffer=0,
+            byteOffset=len(pos_b) + len(uv_b) + len(idx_b),
+            byteLength=len(png),
+        ),
+    ]
+    gltf = dict(
+        asset=dict(version="2.0"),
+        scene=0,
+        scenes=[dict(nodes=[0])],
+        nodes=[dict(mesh=0, name=node_name)],
+        meshes=[
+            dict(
+                name=node_name,
+                primitives=[
+                    dict(
+                        attributes=dict(POSITION=0, TEXCOORD_0=1),
+                        indices=2,
+                        material=0,
+                    )
+                ],
+            )
+        ],
+        materials=[
+            dict(pbrMetallicRoughness=dict(baseColorTexture=dict(index=0)))
+        ],
+        textures=[dict(source=0)],
+        images=[dict(bufferView=3, mimeType="image/png")],
+        accessors=[
+            dict(bufferView=0, componentType=5126, count=4, type="VEC3"),
+            dict(bufferView=1, componentType=5126, count=4, type="VEC2"),
+            dict(bufferView=2, componentType=5123, count=6, type="SCALAR"),
+        ],
+        bufferViews=views,
+        buffers=[dict(byteLength=len(blob))],
+    )
+    jtxt = pad4(json.dumps(gltf).encode(), b" ")
+    body = (
+        struct.pack("<II", len(jtxt), 0x4E4F534A)
+        + jtxt
+        + struct.pack("<II", len(blob), 0x004E4942)
+        + blob
+    )
+    full = struct.pack("<III", 0x46546C67, 2, 12 + len(body)) + body
+    with open(path, "wb") as f:
+        f.write(full)
+
+
+@pytest.fixture
+def hm3d_raw(tmp_path):
+    scene_dir = tmp_path / "raw" / "00012-abcdef"
+    scene_dir.mkdir(parents=True)
+    build_glb(scene_dir / "abcdef.glb", "chunk0_group000_sub001_wall", (10, 200, 30))
+    build_glb(
+        scene_dir / "abcdef.semantic.glb", "chunk0_group000_sub001_wall", (255, 0, 0)
+    )
+    (scene_dir / "abcdef.semantic.txt").write_text(
+        'HM3D Semantic Annotations\n1,FF0000,"chair",0\n'
+    )
+    tsv = tmp_path / "mappings.tsv"
+    tsv.write_text("raw_category\tcategory\tmpcat40\nchair\tchair\tchair\n")
+    return scene_dir, tsv
+
+
+def test_hm3d_preprocess(hm3d_raw, tmp_path):
+    from pointcept_tpu.datasets.preprocessing.hm3d import MPCAT40, process_scene
+
+    scene_dir, tsv = hm3d_raw
+    out_root = tmp_path / "out"
+    rooms = process_scene(
+        scene_dir / "abcdef.glb", out_root, mapping_tsv=tsv, density=0.05
+    )
+    assert len(rooms) == 1
+    room = rooms[0]
+    assert "/train/" in room and room.endswith("00012_abcdef_000_001")
+    coord = np.load(f"{room}/coord.npy")
+    color = np.load(f"{room}/color.npy")
+    normal = np.load(f"{room}/normal.npy")
+    segment = np.load(f"{room}/segment.npy")
+    instance = np.load(f"{room}/instance.npy")
+    # quad area 4 m^2 at density 0.05 -> ~1600 samples (float area rounding)
+    assert abs(coord.shape[0] - 1600) <= 1 and coord.dtype == np.float32
+    assert (coord[:, 2] == 0).all()
+    assert (coord[:, :2] >= 0).all() and (coord[:, :2] <= 2).all()
+    # every sample reads the same texel
+    assert (color == np.array([10, 200, 30], np.uint8)).all()
+    # flat quad -> +/- z normals
+    np.testing.assert_allclose(np.abs(normal[:, 2]), 1.0, atol=1e-5)
+    # label texture FF0000 -> 'chair' -> mpcat40 index
+    assert (segment == MPCAT40.index("chair")).all()
+    assert (instance == instance[0]).all()
+
+
+def test_hm3d_val_split_and_unlabeled(tmp_path):
+    from pointcept_tpu.datasets.preprocessing.hm3d import process_scene
+
+    scene_dir = tmp_path / "raw" / "00900-vvvvvv"
+    scene_dir.mkdir(parents=True)
+    build_glb(scene_dir / "vvvvvv.glb", "chunk0_group001_sub000_x", (1, 2, 3))
+    rooms = process_scene(scene_dir / "vvvvvv.glb", tmp_path / "out", density=0.1)
+    assert len(rooms) == 1 and "/val/" in rooms[0]
+    import os
+
+    assert not os.path.exists(f"{rooms[0]}/segment.npy")  # no semantic.glb
+
+
+def test_hm3d_filter(tmp_path):
+    from pointcept_tpu.datasets.preprocessing.hm3d import filter_scenes
+
+    root = tmp_path / "data"
+    for split, name, n in (("train", "a", 100), ("train", "b", 10), ("val", "c", 50)):
+        d = root / split / name
+        d.mkdir(parents=True)
+        np.save(d / "color.npy", np.zeros((n, 3), np.uint8))
+    moved = filter_scenes(root, num_keep=2)
+    assert len(moved) == 1 and moved[0].endswith("b")
+    assert (root / "train_rm" / "b" / "color.npy").exists()
+    assert (root / "train" / "a").exists() and (root / "val" / "c").exists()

@@ -152,6 +152,353 @@ def test_ptv3_logits_match_reference_code():
     assert agree > 0.99, f"argmax agreement {agree:.4f}"
 
 
+def _rel_l2(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def _compare_trees(ours, ref, path=""):
+    """-> [(path, rel_l2)] over leaves present in BOTH trees."""
+    out = []
+    for k, v in ours.items():
+        p = f"{path}/{k}"
+        r = ref.get(k) if isinstance(ref, dict) else None
+        if isinstance(v, dict):
+            out += _compare_trees(v, r if isinstance(r, dict) else {}, p)
+        elif r is not None:
+            out.append((p, _rel_l2(v, r)))
+    return out
+
+
+def test_ptv3_grads_match_reference_code():
+    """BACKWARD parity vs the reference's own autograd (VERDICT r2 #4a).
+
+    torch grads of a CE loss w.r.t. input feat and every parameter are mapped
+    through `convert_state_dict` (gradients transform identically to weights
+    under the converter's transpose/reshape mapping) and compared leaf-by-leaf
+    against `jax.grad` through our model — this checks every hand-written VJP
+    (block fill, permute gathers, flash-attention bwd, masked norms) against
+    reference autograd, not just against our own lax path."""
+    from oracles import load_reference_module
+
+    m = load_reference_module(
+        "pointcept.models.point_transformer_v3.point_transformer_v3m1_base"
+    )
+    torch.manual_seed(0)
+    common = dict(
+        in_channels=6,
+        order=ORDERS,
+        stride=(2, 2),
+        enc_depths=(1, 1, 1),
+        enc_channels=(16, 32, 64),
+        enc_num_head=(1, 2, 4),
+        enc_patch_size=(64, 64, 64),
+        dec_depths=(1, 1),
+        dec_channels=(16, 32),
+        dec_num_head=(1, 2),
+        dec_patch_size=(64, 64),
+        mlp_ratio=2,
+        drop_path=0.0,
+    )
+    ref = m.PointTransformerV3(
+        enable_flash=False,
+        enable_rpe=False,
+        upcast_attention=True,
+        upcast_softmax=True,
+        shuffle_orders=False,
+        **common,
+    )
+    seg_head = torch.nn.Linear(16, 13)
+    ref.eval()  # BN on running stats: same affine both sides, grads still flow
+
+    grid, feat = _scene()
+    n = grid.shape[0]
+    depth = int(grid.max() + 1).bit_length()
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 13, n).astype(np.int64)
+
+    feat_t = torch.tensor(feat, requires_grad=True)
+    point = ref(
+        dict(
+            coord=torch.tensor(grid, dtype=torch.float32) * 0.02,
+            grid_coord=torch.tensor(grid),
+            feat=feat_t,
+            offset=torch.tensor([n]),
+        )
+    )
+    logits = seg_head(point.feat)
+    loss = torch.nn.functional.cross_entropy(logits, torch.tensor(labels))
+    loss.backward()
+    g_feat_ref = feat_t.grad.numpy()
+    g_sd = {
+        f"backbone.{k}": p.grad.numpy()
+        for k, p in ref.named_parameters()
+        if p.grad is not None
+    }
+    g_sd["seg_head.weight"] = seg_head.weight.grad.numpy()
+    g_sd["seg_head.bias"] = seg_head.bias.grad.numpy()
+    g_params_ref, _, _ = convert_state_dict(g_sd, "PT-v3m1")
+
+    sd = {f"backbone.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    sd["seg_head.weight"] = seg_head.weight.detach().numpy()
+    sd["seg_head.bias"] = seg_head.bias.detach().numpy()
+    params, stats, _ = convert_state_dict(sd, "PT-v3m1")
+
+    ours = build_model(
+        dict(
+            type="DefaultSegmentorV2",
+            num_classes=13,
+            backbone_out_channels=16,
+            backbone=dict(
+                type="PT-v3m1",
+                shuffle_orders=False,
+                serialize_depth=depth,
+                pool_capacity_factors=(0.9, 0.9),
+                **common,
+            ),
+            criteria=[dict(type="CrossEntropyLoss", ignore_index=-1)],
+        )
+    )
+    arrays = dict(
+        coord=grid.astype(np.float32) * 0.02,
+        feat=feat,
+        grid_coord=grid,
+        batch=np.zeros(n, np.int32),
+        segment=labels.astype(np.int32),
+    )
+    variables = ours.init(
+        {"params": jax.random.PRNGKey(0)}, make_point_batch(arrays, 1), train=False
+    )
+    new_params, miss_p = _graft(
+        jax.tree_util.tree_map(np.asarray, variables["params"]), params
+    )
+    new_stats, _ = _graft(
+        jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {})), stats
+    )
+    assert miss_p == []
+
+    import jax.numpy as jnp
+
+    lab = jnp.asarray(labels.astype(np.int32))
+
+    def loss_fn(p, f):
+        a = dict(arrays)
+        a["feat"] = f
+        pb = make_point_batch(a, 1)
+        out = ours.apply({"params": p, "batch_stats": new_stats}, pb, train=False)
+        lg = out["seg_logits"].astype(jnp.float32)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, lab[:, None], axis=-1))
+
+    g_params, g_feat = jax.grad(loss_fn, argnums=(0, 1))(
+        jax.tree_util.tree_map(jnp.asarray, new_params), jnp.asarray(feat)
+    )
+
+    err_feat = _rel_l2(g_feat, g_feat_ref)
+    assert err_feat < 5e-2, f"input-feat grad rel-L2 {err_feat:.4f}"
+
+    pairs = _compare_trees(jax.tree_util.tree_map(np.asarray, g_params), g_params_ref)
+    assert len(pairs) > 50, f"too few comparable grad leaves: {len(pairs)}"
+    worst = sorted(pairs, key=lambda kv: -kv[1])[:8]
+    bad = [(p, e) for p, e in pairs if e > 5e-2]
+    assert not bad, f"grad mismatches (worst: {worst})"
+    # the hand-written conv + attention VJPs specifically must be covered:
+    # stem/xCPE sparse-conv weights and attention qkv/proj weights both appear
+    covered = "\n".join(p.lower() for p, _ in pairs)
+    assert "stem" in covered or "embedding" in covered, covered[:500]
+    assert "qkv" in covered, covered[:500]
+
+
+def test_ptv2m2_logits_match_reference_code():
+    """Model-level PTv2-m2 logit oracle (VERDICT r2 #4c): the reference's own
+    `point_transformer_v2m2_base.PointTransformerV2` (run via pure-torch
+    pointops/voxel_grid shims) vs our PT-v2m2 through the converter."""
+    from oracles import load_reference_module
+
+    m = load_reference_module(
+        "pointcept.models.point_transformer_v2.point_transformer_v2m2_base"
+    )
+    torch.manual_seed(0)
+    common = dict(
+        in_channels=6,
+        num_classes=13,
+        patch_embed_depth=1,
+        patch_embed_channels=24,
+        patch_embed_groups=4,
+        patch_embed_neighbours=8,
+        enc_depths=(1, 1),
+        enc_channels=(48, 96),
+        enc_groups=(6, 12),
+        enc_neighbours=(12, 12),
+        dec_depths=(1, 1),
+        dec_channels=(24, 48),
+        dec_groups=(4, 6),
+        dec_neighbours=(12, 12),
+        grid_sizes=(0.08, 0.16),
+        attn_qkv_bias=True,
+        pe_multiplier=False,
+        pe_bias=True,
+        attn_drop_rate=0.0,
+        drop_path_rate=0.0,
+        unpool_backend="map",
+    )
+    ref = m.PointTransformerV2(**common)
+    ref.eval()
+
+    grid, feat = _scene(n_target=700, span=40, seed=3)
+    n = grid.shape[0]
+    # break kNN distance ties: pure-lattice coords have many exactly-equidistant
+    # neighbors, and our device kNN vs the torch oracle's topk may legitimately
+    # pick different equidistant points (observed 4% logit drift from that
+    # alone); sub-cell jitter makes the neighbor sets unique and identical
+    jit = np.random.default_rng(5).uniform(-0.004, 0.004, (n, 3)).astype(np.float32)
+    coord = grid.astype(np.float32) * 0.02 + jit
+    with torch.no_grad():
+        ref_logits = ref(
+            dict(
+                coord=torch.tensor(coord),
+                feat=torch.tensor(feat),
+                offset=torch.tensor([n]),
+            )
+        ).numpy()
+
+    sd = {f"backbone.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    params, stats, unmatched = convert_state_dict(sd, "PT-v2m2")
+    assert unmatched == [], unmatched[:10]
+
+    ours = build_model(
+        dict(
+            type="DefaultSegmentor",
+            backbone=dict(type="PT-v2m2", pool_capacity_factors=(0.9, 0.9), **common),
+            criteria=[dict(type="CrossEntropyLoss", ignore_index=-1)],
+        )
+    )
+    arrays = dict(
+        coord=coord,
+        feat=feat,
+        grid_coord=grid,
+        batch=np.zeros(n, np.int32),
+        segment=np.zeros(n, np.int32),
+    )
+    pb = make_point_batch(arrays, 1)
+    variables = ours.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+    new_params, miss_p = _graft(
+        jax.tree_util.tree_map(np.asarray, variables["params"]), params
+    )
+    new_stats, _ = _graft(
+        jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {})), stats
+    )
+    assert miss_p == [], f"converter left params at init: {miss_p[:10]}"
+    out = ours.apply({"params": new_params, "batch_stats": new_stats}, pb, train=False)
+    got = np.asarray(out["seg_logits"], np.float32)
+
+    scale = np.abs(ref_logits).max()
+    err = np.abs(got - ref_logits).max() / scale
+    agree = (got.argmax(1) == ref_logits.argmax(1)).mean()
+    assert err < 3e-2, f"relative logit error {err:.4f}"
+    assert agree > 0.99, f"argmax agreement {agree:.4f}"
+
+
+@pytest.mark.slow
+def test_ptv3_full_depth_logits_match_reference_code():
+    """Full-depth PTv3-base geometry oracle (VERDICT r2 #4b): 5 stages, patch
+    1024, base channels (32..512), ~20k points — the scale where bf16 drift
+    and padding behavior actually live. Measured on this harness: rel-max
+    logit err ~1e-2..4e-2 (bf16 through 5 stages), argmax agreement > 0.98."""
+    from oracles import load_reference_module
+
+    m = load_reference_module(
+        "pointcept.models.point_transformer_v3.point_transformer_v3m1_base"
+    )
+    torch.manual_seed(0)
+    common = dict(
+        in_channels=6,
+        order=ORDERS,
+        stride=(2, 2, 2, 2),
+        enc_depths=(2, 2, 2, 6, 2),
+        enc_channels=(32, 64, 128, 256, 512),
+        enc_num_head=(2, 4, 8, 16, 32),
+        enc_patch_size=(1024,) * 5,
+        dec_depths=(2, 2, 2, 2),
+        dec_channels=(64, 64, 128, 256),
+        dec_num_head=(4, 4, 8, 16),
+        dec_patch_size=(1024,) * 4,
+        mlp_ratio=4,
+        drop_path=0.0,
+    )
+    ref = m.PointTransformerV3(
+        enable_flash=False,
+        enable_rpe=False,
+        upcast_attention=True,
+        upcast_softmax=True,
+        shuffle_orders=False,
+        **common,
+    )
+    seg_head = torch.nn.Linear(64, 20)
+    ref.eval()
+
+    grid, feat = _scene(n_target=22000, span=150, seed=11)
+    n = grid.shape[0]
+    depth = int(grid.max() + 1).bit_length()
+    with torch.no_grad():
+        point = ref(
+            dict(
+                coord=torch.tensor(grid, dtype=torch.float32) * 0.02,
+                grid_coord=torch.tensor(grid),
+                feat=torch.tensor(feat),
+                offset=torch.tensor([n]),
+            )
+        )
+        ref_logits = seg_head(point.feat).numpy()
+
+    sd = {f"backbone.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    sd["seg_head.weight"] = seg_head.weight.detach().numpy()
+    sd["seg_head.bias"] = seg_head.bias.detach().numpy()
+    params, stats, unmatched = convert_state_dict(sd, "PT-v3m1")
+    assert unmatched == [], unmatched[:10]
+
+    ours = build_model(
+        dict(
+            type="DefaultSegmentorV2",
+            num_classes=20,
+            backbone_out_channels=64,
+            backbone=dict(
+                type="PT-v3m1",
+                shuffle_orders=False,
+                serialize_depth=depth,
+                pool_capacity_factors=(0.45, 0.45, 0.45, 0.45),
+                **common,
+            ),
+            criteria=[dict(type="CrossEntropyLoss", ignore_index=-1)],
+        )
+    )
+    arrays = dict(
+        coord=grid.astype(np.float32) * 0.02,
+        feat=feat,
+        grid_coord=grid,
+        batch=np.zeros(n, np.int32),
+        segment=np.zeros(n, np.int32),
+    )
+    pb = make_point_batch(arrays, 1)
+    variables = ours.init({"params": jax.random.PRNGKey(0)}, pb, train=False)
+    new_params, miss_p = _graft(
+        jax.tree_util.tree_map(np.asarray, variables["params"]), params
+    )
+    new_stats, _ = _graft(
+        jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {})), stats
+    )
+    assert miss_p == [], f"converter left params at init: {miss_p[:10]}"
+    out = ours.apply({"params": new_params, "batch_stats": new_stats}, pb, train=False)
+    got = np.asarray(out["seg_logits"], np.float32)
+
+    scale = np.abs(ref_logits).max()
+    err = np.abs(got - ref_logits).max() / scale
+    agree = (got.argmax(1) == ref_logits.argmax(1)).mean()
+    assert err < 6e-2, f"full-depth relative logit error {err:.4f}"
+    assert agree > 0.98, f"full-depth argmax agreement {agree:.4f}"
+
+
 def test_spunet_logits_match_reference_code():
     from oracles import load_reference_module
 
