@@ -414,43 +414,39 @@ class RandomColorDrop:
 class HueSaturationTranslation:
     """HSV-space hue/saturation jitter on 0-255 rgb (reference `:671`)."""
 
+    # Vectorized colorsys semantics (hue in [0,1), s/v on the raw 0-255
+    # scale), written via the chroma form and the piecewise-linear "k
+    # formula" (Wikipedia, "HSL and HSV: Alternative HSV conversion").
+    # Parity vs stdlib colorsys is asserted in tests/test_transforms.py.
+
     @staticmethod
     def rgb_to_hsv(rgb):
-        rgb = rgb.astype("float")
-        hsv = np.zeros_like(rgb)
-        hsv[..., 3:] = rgb[..., 3:]
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        maxc = np.max(rgb[..., :3], axis=-1)
-        minc = np.min(rgb[..., :3], axis=-1)
-        hsv[..., 2] = maxc
-        mask = maxc != minc
-        hsv[mask, 1] = (maxc - minc)[mask] / maxc[mask]
-        rc = np.zeros_like(r)
-        gc = np.zeros_like(g)
-        bc = np.zeros_like(b)
-        rc[mask] = (maxc - r)[mask] / (maxc - minc)[mask]
-        gc[mask] = (maxc - g)[mask] / (maxc - minc)[mask]
-        bc[mask] = (maxc - b)[mask] / (maxc - minc)[mask]
-        hsv[..., 0] = np.select([r == maxc, g == maxc], [bc - gc, 2.0 + rc - bc], default=4.0 + gc - rc)
-        hsv[..., 0] = (hsv[..., 0] / 6.0) % 1.0
-        return hsv
+        x = rgb[..., :3].astype(np.float64)
+        v = x.max(axis=-1)
+        chroma = v - x.min(axis=-1)
+        s = np.divide(chroma, v, out=np.zeros_like(v), where=v > 0)
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        safe_c = np.where(chroma > 0, chroma, 1.0)
+        # signed fractional position within the sector of the largest channel
+        sector = np.choose(
+            x.argmax(axis=-1),
+            [(g - b) / safe_c, 2.0 + (b - r) / safe_c, 4.0 + (r - g) / safe_c],
+        )
+        h = np.where(chroma > 0, (sector / 6.0) % 1.0, 0.0)
+        return np.stack([h, s, v], axis=-1)
 
     @staticmethod
     def hsv_to_rgb(hsv):
-        rgb = np.empty_like(hsv)
-        rgb[..., 3:] = hsv[..., 3:]
         h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-        i = (h * 6.0).astype("uint8")
-        f = (h * 6.0) - i
-        p = v * (1.0 - s)
-        q = v * (1.0 - s * f)
-        t = v * (1.0 - s * (1.0 - f))
-        i = i % 6
-        conditions = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
-        rgb[..., 0] = np.select(conditions, [v, q, p, p, t, v], default=v)
-        rgb[..., 1] = np.select(conditions, [v, v, v, q, p, p], default=t)
-        rgb[..., 2] = np.select(conditions, [v, p, t, v, v, q], default=p)
-        return rgb.astype("uint8")
+
+        def channel(n):
+            k = (n + h * 6.0) % 6.0
+            return v * (1.0 - s * np.clip(np.minimum(k, 4.0 - k), 0.0, 1.0))
+
+        out = np.stack([channel(5.0), channel(3.0), channel(1.0)], axis=-1)
+        # round (not truncate): the piecewise-linear form above reproduces
+        # integer channel values only up to float rounding (e.g. 97.999...)
+        return np.clip(np.rint(out), 0, 255).astype("uint8")
 
     def __init__(self, hue_max=0.5, saturation_max=0.2):
         self.hue_max = hue_max

@@ -678,3 +678,46 @@ def test_extra_transform_splices_before_collect():
     )
     assert np.allclose(feat_no[:, :3], 0)  # color channels zeroed
     assert np.abs(feat_no[:, 3:]).sum() > 0  # coord features untouched
+
+
+def test_hue_saturation_hsv_roundtrip_matches_colorsys():
+    """rgb<->hsv helpers match stdlib colorsys on the 0-255 color scale
+    (hue normalized to [0,1), s as chroma/value, v as max channel)."""
+    import colorsys
+
+    from pointcept_tpu.datasets.transform import HueSaturationTranslation as HST
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (512, 3)).astype(np.float64)
+    # include degenerate pixels: grays (chroma 0) and black (value 0)
+    rgb[:8] = rgb[:8, :1]
+    rgb[8:12] = 0.0
+    hsv = HST.rgb_to_hsv(rgb)
+    for px, hx in zip(rgb, hsv):
+        h, s, v = colorsys.rgb_to_hsv(*(px / 255.0))
+        assert abs(hx[0] - h) < 1e-9 or abs(abs(hx[0] - h) - 1.0) < 1e-9
+        assert abs(hx[1] - s) < 1e-9
+        assert abs(hx[2] - v * 255.0) < 1e-6
+    # hsv -> rgb (uint8-truncated like the transform uses it)
+    back = HST.hsv_to_rgb(hsv)
+    for px, hx, bx in zip(rgb, hsv, back):
+        r, g, b = colorsys.hsv_to_rgb(hx[0], hx[1], hx[2] / 255.0)
+        want = np.array([r, g, b]) * 255.0
+        assert np.all(np.abs(bx.astype(np.float64) - want) <= 1.0)
+    # exact roundtrip on integer-valued pixels
+    assert np.array_equal(back.astype(np.float64), rgb)
+
+
+def test_hue_saturation_transform_jitters_in_range():
+    from pointcept_tpu.datasets.transform import HueSaturationTranslation
+
+    rng = np.random.default_rng(1)
+    color = rng.integers(0, 256, (300, 3)).astype(np.float64)
+    np.random.seed(3)
+    out = HueSaturationTranslation(hue_max=0.5, saturation_max=0.2)(
+        {"color": color.copy()}
+    )["color"]
+    assert out.shape == color.shape
+    assert out.min() >= 0 and out.max() <= 255
+    # value (max channel) is invariant under hue/saturation jitter
+    assert np.all(np.abs(out.max(1) - color.max(1)) <= 1.0)

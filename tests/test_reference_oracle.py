@@ -55,6 +55,43 @@ def _scene(n_target=900, span=48, seed=0, channels=6):
     return grid, feat
 
 
+def _surface_scene(span=105, seed=11, channels=6, keep=0.92):
+    """ScanNet-like room at 0.02 m voxels: dense floor + two walls + boxy
+    furniture surfaces, with sensor-like dropout. Unlike uniform-random cells
+    (whose stride-2 parents are ~0.98*N — nothing merges), dense surfaces give
+    the ~0.25-0.3 parent/point ratios real scans have, which is what PTv3's
+    static `pool_capacity_factors=0.45` is sized for."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    ax = np.arange(span)
+    xx, yy = np.meshgrid(ax, ax, indexing="ij")
+    pts.append(np.stack([xx, yy, np.zeros_like(xx)], -1).reshape(-1, 3))
+    az = np.arange(span // 3)
+    xx, zz = np.meshgrid(ax, az, indexing="ij")
+    pts.append(np.stack([xx, np.zeros_like(xx), zz], -1).reshape(-1, 3))
+    pts.append(np.stack([np.zeros_like(xx), xx, zz], -1).reshape(-1, 3))
+    for _ in range(6):
+        c = rng.integers(8, span - 40, 3)
+        c[2] = 0
+        sz = rng.integers(10, 30, 3)
+        for axis in range(3):
+            u0 = np.arange(sz[(axis + 1) % 3])
+            u1 = np.arange(sz[(axis + 2) % 3])
+            uu, vv = np.meshgrid(u0, u1, indexing="ij")
+            for hi in (0, 1):
+                p = np.zeros((uu.size, 3), int)
+                p[:, axis] = hi * sz[axis]
+                p[:, (axis + 1) % 3] = uu.ravel()
+                p[:, (axis + 2) % 3] = vv.ravel()
+                pts.append(c + p)
+    grid = np.concatenate(pts)
+    grid = np.clip(grid, 0, span - 1)
+    grid = np.unique(grid, axis=0).astype(np.int32)
+    grid = grid[rng.random(len(grid)) < keep]
+    feat = rng.standard_normal((len(grid), channels)).astype(np.float32)
+    return grid, feat
+
+
 ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
 
 
@@ -403,9 +440,13 @@ def test_ptv2m2_logits_match_reference_code():
 @pytest.mark.slow
 def test_ptv3_full_depth_logits_match_reference_code():
     """Full-depth PTv3-base geometry oracle (VERDICT r2 #4b): 5 stages, patch
-    1024, base channels (32..512), ~20k points — the scale where bf16 drift
-    and padding behavior actually live. Measured on this harness: rel-max
-    logit err ~1e-2..4e-2 (bf16 through 5 stages), argmax agreement > 0.98."""
+    1024, base channels (32..512), ~22k points — the scale where bf16 drift
+    and padding behavior actually live. The scene is surface-like (dense
+    floor/walls/boxes): real scans merge ~3-4 points per stride-2 parent, so
+    the default 0.45 capacity factors hold with margin; a uniform-random scene
+    would overflow them (r3 failure mode) — the overflow counters are asserted
+    zero here so a capacity regression fails loudly, not as silent logit
+    drift."""
     from oracles import load_reference_module
 
     m = load_reference_module(
@@ -438,7 +479,7 @@ def test_ptv3_full_depth_logits_match_reference_code():
     seg_head = torch.nn.Linear(64, 20)
     ref.eval()
 
-    grid, feat = _scene(n_target=22000, span=150, seed=11)
+    grid, feat = _surface_scene(span=105, seed=11)
     n = grid.shape[0]
     depth = int(grid.max() + 1).bit_length()
     with torch.no_grad():
@@ -489,7 +530,17 @@ def test_ptv3_full_depth_logits_match_reference_code():
         jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {})), stats
     )
     assert miss_p == [], f"converter left params at init: {miss_p[:10]}"
-    out = ours.apply({"params": new_params, "batch_stats": new_stats}, pb, train=False)
+    out, state = ours.apply(
+        {"params": new_params, "batch_stats": new_stats},
+        pb,
+        train=False,
+        mutable=["diagnostics"],
+    )
+    dropped = sum(
+        int(np.sum(leaf))
+        for leaf in jax.tree_util.tree_leaves(state.get("diagnostics", {}))
+    )
+    assert dropped == 0, f"static capacity dropped {dropped} points/clusters"
     got = np.asarray(out["seg_logits"], np.float32)
 
     scale = np.abs(ref_logits).max()
