@@ -130,6 +130,58 @@ class TesterBase:
             self._infer_fn = infer_fn
         return self._infer_fn
 
+    @property
+    def infer_diag(self):
+        """infer + total static-capacity overflow (pool/block drop counters).
+
+        The reference drops nothing at eval (torch_scatter pooling is exact,
+        spconv_unet/point_transformer_v3m1_base.py:341-444); our static
+        capacities can, so precise eval surfaces the counters and
+        `check_dropped` raises instead of silently zeroing clusters."""
+        if getattr(self, "_infer_diag_fn", None) is None:
+            model = self.model
+
+            @jax.jit
+            def infer_fn(state, arrays):
+                pb = make_point_batch(arrays, 1)
+                out, st = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    pb,
+                    train=False,
+                    mutable=["diagnostics"],
+                )
+                leaves = jax.tree_util.tree_leaves(st.get("diagnostics", {}))
+                dropped = (
+                    sum(jnp.sum(l).astype(jnp.int32) for l in leaves)
+                    if leaves
+                    else jnp.int32(0)
+                )
+                probs = jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+                return probs, dropped
+
+            self._infer_diag_fn = infer_fn
+        return self._infer_diag_fn
+
+    def check_dropped(self, dropped: int, n_valid: int, context: str):
+        """Fail loudly when static capacities dropped points at eval.
+
+        >0.1% of the fragment is an error (mis-sized `pool_capacity_factors` /
+        `block_capacity_factor` corrupt the prediction); any nonzero count is
+        logged so capacity sizing stays observable."""
+        if dropped <= 0:
+            return
+        frac = dropped / max(n_valid, 1)
+        tol = float(self.cfg.get("eval_overflow_tolerance", 1e-3))
+        if frac > tol:
+            raise RuntimeError(
+                f"{context}: static capacity dropped {dropped}/{n_valid} points "
+                f"({frac:.2%} > {tol:.2%}); raise pool_capacity_factors / "
+                "block_capacity_factor (or eval_overflow_tolerance to accept)"
+            )
+        self.logger.warning(
+            f"{context}: static capacity dropped {dropped}/{n_valid} points ({frac:.3%})"
+        )
+
     def scene_indices(self):
         """Shard scenes across hosts (reference DistributedSampler of scenes)."""
         n = len(self.test_dataset)
@@ -194,7 +246,9 @@ class SemSegTester(TesterBase):
                         )
                     batch = self.fragment_batch(fragment)
                     arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "num_scenes"}
-                    probs = np.asarray(self.infer(self.state, arrays))[:n_frag]
+                    probs, dropped = self.infer_diag(self.state, arrays)
+                    self.check_dropped(int(dropped), n_frag, f"{data_name} fragment {i}")
+                    probs = np.asarray(probs)[:n_frag]
                     np.add.at(pred, index, probs)
                     logger.info(
                         "Test: {}/{}-{data_name}, Fragment batch: {batch_idx}/{total_batch}".format(
