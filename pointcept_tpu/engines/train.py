@@ -482,7 +482,12 @@ class Trainer(TrainerBase):
             for tk, sk in ema_pairs.items():
                 if sk is None:  # frozen teacher keeps its own (loaded) weights
                     continue
-                params[tk] = jax.tree_util.tree_map(lambda x: x, params[sk])
+                # materialized copies, not aliases: the train step donates the
+                # state (donate_argnums=(0,)) and an aliased teacher/student
+                # leaf would be the same buffer donated twice
+                params[tk] = jax.tree_util.tree_map(
+                    lambda x: jnp.array(x), params[sk]
+                )
         tx = build_optimizer(
             dict(self.cfg.optimizer), params, self.scheduler, self.cfg.get("param_dicts")
         )
