@@ -66,8 +66,10 @@ def ptv3_base_cfg(on_tpu: bool):
             pool_capacity_factors=(0.35, 0.25, 0.25, 0.25),
             conv_engine="block",
             # scene-blocked static regions: patch attention = fixed windows
-            # (no qkv slot gathers / partition index builds at B>1)
-            scene_blocked=os.environ.get("BENCH_SCENE_BLOCKED", "1") == "1",
+            # (no qkv slot gathers / partition index builds at B>1). r4 A/B:
+            # 10.600 (off) vs 10.488 (on) with lax conv — default off
+            # (docs/ab_results.jsonl)
+            scene_blocked=os.environ.get("BENCH_SCENE_BLOCKED", "0") == "1",
             # 4^3 blocks: ~2.3x less dense-conv FLOP redundancy than 8^3 at
             # ScanNet densities; occupancy measured 1/15 (stage0) to 1/21
             # (pooled stages) of the stage capacity, +~25-30% margin
@@ -114,6 +116,102 @@ def synthetic_batch(capacity: int, num_scenes: int, seed: int = 0):
     )
     batch.pop("num_scenes")
     return batch
+
+
+def tester_bench(on_tpu: bool):
+    """The real val workload: SemSegTester.test() fragment-TTA loop
+    (reference engines/test.py:122-353) over synthetic ScanNet-like scenes.
+
+    Unlike the forward bench (batched, fixed-shape, device-resident), this
+    measures the production inference path end-to-end: per-scene test-mode
+    GridSample into count.max() complementary fragments on the host, each
+    fragment padded + streamed + forwarded, softmax accumulated at voxel
+    resolution, argmax mapped back to raw points. Returns (scenes_per_sec,
+    fragments_per_sec, n_fragments_total).
+    """
+    import shutil
+    import tempfile
+
+    from pointcept_tpu.engines.test import TESTERS
+    from pointcept_tpu.utils.config import Config
+
+    model_cfg, capacity, _ = ptv3_base_cfg(on_tpu)
+    if on_tpu:
+        capacity = 110592  # single-fragment capacity (fragments = #voxels <= ~105k)
+        raw_points, n_scenes = 160000, int(os.environ.get("BENCH_TESTER_SCENES", "2"))
+    else:
+        raw_points, n_scenes = 6000, 2
+    save_path = tempfile.mkdtemp(prefix="bench_tester_")
+    grid = 0.02 if on_tpu else 0.05
+    cfg = Config(
+        dict(
+            save_path=save_path,
+            batch_size_test_per_gpu=1,
+            point_capacity_test=capacity,
+            num_worker=0,
+            model=model_cfg,
+            data=dict(
+                num_classes=20,
+                ignore_index=-1,
+                names=[f"class_{i}" for i in range(20)],
+                test=dict(
+                    type="SyntheticSemSegDataset",
+                    split="val",
+                    num_scenes=n_scenes,
+                    num_points=raw_points,
+                    num_classes=20,
+                    transform=[
+                        dict(type="CenterShift", apply_z=True),
+                        dict(type="NormalizeColor"),
+                    ],
+                    test_mode=True,
+                    test_cfg=dict(
+                        voxelize=dict(
+                            type="GridSample", grid_size=grid, hash_type="fnv",
+                            mode="test", return_grid_coord=True,
+                        ),
+                        crop=None,
+                        post_transform=[
+                            dict(type="CenterShift", apply_z=False),
+                            dict(type="ToTensor"),
+                            dict(
+                                type="Collect", keys=("coord", "grid_coord", "index"),
+                                feat_keys=("color", "normal"),
+                            ),
+                        ],
+                        # one TTA variant keeps the driver bench bounded; real
+                        # configs multiply scenes/s down by len(aug_transform)
+                        aug_transform=[
+                            [dict(type="RandomRotateTargetAngle", angle=[0], axis="z", center=[0, 0, 0], p=1)],
+                        ],
+                    ),
+                ),
+            ),
+        )
+    )
+    try:
+        import contextlib
+        import io
+
+        # the root logger binds sys.stdout at handler creation (inside
+        # TESTERS.build); build + run under redirect to keep the bench's
+        # single-JSON-line stdout contract
+        with contextlib.redirect_stdout(io.StringIO()):
+            tester = TESTERS.build(dict(type="SemSegTester", cfg=cfg))
+            # warmup: one full pass compiles the fragment forward; then clear
+            # the per-scene pred cache so the timed loop re-runs every fragment
+            tester.test()
+            n_frags = sum(
+                len(tester.test_dataset[i]["fragment_list"])
+                for i in range(len(tester.test_dataset))
+            )
+            shutil.rmtree(os.path.join(save_path, "result"))
+            start = time.perf_counter()
+            tester.test()
+            elapsed = time.perf_counter() - start
+        return n_scenes / elapsed, n_frags / elapsed, n_frags
+    finally:
+        shutil.rmtree(save_path, ignore_errors=True)
 
 
 def main():
@@ -238,23 +336,31 @@ def main():
         jax.profiler.stop_trace()
 
     scenes_per_sec = iters * steps * num_scenes / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "scannet_val_scenes_per_sec_per_chip" if on_tpu else "cpu_smoke_scenes_per_sec",
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/sec",
-                "vs_baseline": round(scenes_per_sec / (TARGET_MULTIPLIER * A100_SCENES_PER_SEC), 4),
-                # all pool/block static-capacity overflow counters, asserted 0
-                # above — throughput is not inflated by dropped points
-                "overflow": overflow,
-                # scenes are surface-realistic SYNTHETIC rooms (real ScanNet
-                # data is not available in this environment); geometry stats
-                # (points/voxel-block occupancy, grid size) match ScanNet val
-                "note": "synthetic ScanNet-like scenes; see BENCH_TESTER=1 for the fragment-TTA tester loop",
-            }
-        )
-    )
+
+    out = {
+        "metric": "scannet_val_scenes_per_sec_per_chip" if on_tpu else "cpu_smoke_scenes_per_sec",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / (TARGET_MULTIPLIER * A100_SCENES_PER_SEC), 4),
+        # all pool/block static-capacity overflow counters, asserted 0
+        # above — throughput is not inflated by dropped points
+        "overflow": overflow,
+        # scenes are surface-realistic SYNTHETIC rooms (real ScanNet
+        # data is not available in this environment); geometry stats
+        # (points/voxel-block occupancy, grid size) match ScanNet val
+        "note": "synthetic ScanNet-like scenes",
+    }
+
+    # BENCH_TESTER=0 skips the fragment-TTA tester-loop measurement (the real
+    # SemSegTester.test() val workload: host GridSample test fragments, padded
+    # single-fragment forwards, softmax accumulation, inverse mapping)
+    if os.environ.get("BENCH_TESTER", "1") == "1":
+        t_scenes, t_frags, n_frags = tester_bench(on_tpu)
+        out["tester_scenes_per_sec"] = round(t_scenes, 3)
+        out["tester_fragments_per_sec"] = round(t_frags, 3)
+        out["tester_fragments_total"] = n_frags
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

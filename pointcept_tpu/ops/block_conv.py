@@ -473,11 +473,12 @@ def block_subm_conv(
     )
     import os as _os
 
-    # engine default: the fused Pallas path on TPU, lax.conv elsewhere (the
-    # fused kernel runs in interpret mode off-TPU — numerically fine but far
-    # too slow for the CPU test suite; tests/test_tap_conv.py covers parity
-    # explicitly). BLOCK_CONV_LAX=1 / BLOCK_CONV_FUSED=1 force either engine.
-    use_lax = jax.devices()[0].platform != "tpu"
+    # engine default: lax.conv everywhere — the r4 A/B on the bench TPU
+    # measured the fused Pallas tap-conv at 8.2 scenes/s end-to-end vs 10.5
+    # for lax.conv (docs/ab_results.jsonl; the r3 fused default was the
+    # 10.977 -> 8.698 regression). BLOCK_CONV_FUSED=1 forces the fused path
+    # (parity-tested in tests/test_tap_conv.py); BLOCK_CONV_LAX=1 forces lax.
+    use_lax = True
     if _os.environ.get("BLOCK_CONV_FUSED", "0") == "1":
         use_lax = False
     if _os.environ.get("BLOCK_CONV_LAX", "0") == "1":
