@@ -72,6 +72,11 @@ def default_setup(cfg):
     # update data loop with sharded repeats (parity: reference keeps global loop)
     seed = cfg.seed if cfg.get("seed") is not None else get_random_seed()
     rank = comm.get_rank()
+    # shared (pre-offset) seed: model init must be IDENTICAL on every host —
+    # the reference gets this from DDP's rank-0 param broadcast
+    # (engines/defaults.py:22-43); our equivalent is initializing from the
+    # same key everywhere. The per-rank offset seed drives data augmentation.
+    cfg.shared_seed = seed
     seed = seed * world_size + rank
     set_seed(seed)
     cfg.seed = seed

@@ -304,7 +304,11 @@ class Trainer(TrainerBase):
         self.writer = None  # set by writer hooks if enabled
         self._train_step_fn = None
         self._eval_step_fn = None
-        self._rng = jax.random.PRNGKey(cfg.seed)
+        # shared across hosts: the step key is a replicated input to the
+        # shard_map'd train step (per-device variation comes from folding in
+        # the device's axis index, build_train_step), so every host must feed
+        # the same key or the replicated argument would disagree
+        self._rng = jax.random.PRNGKey(int(cfg.get("shared_seed", cfg.seed)))
         self.init_state()
         self.logger.info("=> Building hooks ...")
         self.register_hooks(cfg.hooks)
@@ -402,7 +406,10 @@ class Trainer(TrainerBase):
             num_workers=self.cfg.get("num_worker", 0),
             collate_fn=collate,
             drop_last=True,
-            seed=self.cfg.seed,
+            # SHARED seed: the pre-shard permutation (and any sampler cap
+            # selection) must be identical on every host or per-host
+            # shards overlap (reference DistributedSampler uses one seed)
+            seed=int(self.cfg.get("shared_seed", self.cfg.seed)),
             process_index=self.process_index,
             process_count=self.process_count,
         )
@@ -427,7 +434,10 @@ class Trainer(TrainerBase):
             num_workers=self.cfg.get("num_worker", 0),
             collate_fn=collate,
             drop_last=False,
-            seed=self.cfg.seed,
+            # SHARED seed: the pre-shard permutation (and any sampler cap
+            # selection) must be identical on every host or per-host
+            # shards overlap (reference DistributedSampler uses one seed)
+            seed=int(self.cfg.get("shared_seed", self.cfg.seed)),
             process_index=self.process_index,
             process_count=self.process_count,
         )
@@ -456,11 +466,14 @@ class Trainer(TrainerBase):
             inputs = make_view_inputs(arrays, batch["num_scenes"], condition)
         else:
             inputs = make_point_batch(arrays, batch["num_scenes"], condition)
+        # the SHARED seed, not the per-rank one: init must produce identical
+        # params on every host (reference DDP broadcasts rank-0 weights)
+        init_seed = int(self.cfg.get("shared_seed", self.cfg.seed))
         rngs = {
-            "params": jax.random.PRNGKey(self.cfg.seed),
-            "shuffle": jax.random.PRNGKey(self.cfg.seed + 1),
-            "dropout": jax.random.PRNGKey(self.cfg.seed + 2),
-            "mask": jax.random.PRNGKey(self.cfg.seed + 3),
+            "params": jax.random.PRNGKey(init_seed),
+            "shuffle": jax.random.PRNGKey(init_seed + 1),
+            "dropout": jax.random.PRNGKey(init_seed + 2),
+            "mask": jax.random.PRNGKey(init_seed + 3),
         }
         # jitted: eager init dispatches thousands of tiny ops (slow, and has
         # wedged remote-device client sessions); one graph, persistently cached
@@ -669,7 +682,10 @@ class MultiDatasetTrainer(Trainer):
             batch_size_per_gpu=self.cfg.batch_size // comm.get_world_size(),
             num_worker_per_gpu=self.cfg.get("num_worker", 0),
             collate_fn=collate,
-            seed=self.cfg.seed,
+            # SHARED seed: the pre-shard permutation (and any sampler cap
+            # selection) must be identical on every host or per-host
+            # shards overlap (reference DistributedSampler uses one seed)
+            seed=int(self.cfg.get("shared_seed", self.cfg.seed)),
         )
 
 
@@ -686,7 +702,10 @@ class PartialSampledTrainer(Trainer):
             dataset,
             sampled_dataset_id=self.cfg.get("sampled_dataset_id", 0),
             sampled_dataset_limit=self.cfg.get("sampled_dataset_limit", 1000),
-            seed=self.cfg.seed,
+            # SHARED seed: the pre-shard permutation (and any sampler cap
+            # selection) must be identical on every host or per-host
+            # shards overlap (reference DistributedSampler uses one seed)
+            seed=int(self.cfg.get("shared_seed", self.cfg.seed)),
         )
         collate = partial(
             device_collate,
@@ -701,6 +720,9 @@ class PartialSampledTrainer(Trainer):
             num_workers=self.cfg.get("num_worker", 0),
             collate_fn=collate,
             drop_last=True,
-            seed=self.cfg.seed,
+            # SHARED seed: the pre-shard permutation (and any sampler cap
+            # selection) must be identical on every host or per-host
+            # shards overlap (reference DistributedSampler uses one seed)
+            seed=int(self.cfg.get("shared_seed", self.cfg.seed)),
             sampler=sampler,
         )
