@@ -13,8 +13,9 @@ upsampling with skip connections, stem_transformer mode.
 TPU reworks (see `ops/window_ops.py`): Minkowski window pooling -> one sort by
 (batch, Morton(window grid)) per shift parity; ragged per-window attention ->
 static patches with overlapping key slabs; CUDA table gathers -> one-hot MXU
-einsum contractions. `upsample="linear_attn"` falls back to the linear
-interpolation path (the attention refinement is not yet implemented).
+einsum contractions. `upsample="linear_attn"` runs the reference's depth-1
+cRSE Swin block on the merged features at each restored level (reference
+Upsample :349-382).
 Signals at coarser levels are masked means of children (the reference selects a
 representative child via Minkowski pooling; average is the same signal family).
 """
@@ -173,13 +174,22 @@ class GridKNNDownsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Reference :320-382 (linear mode): skip + kNN-interpolated coarse path."""
+    """Reference :320-382: skip + kNN-interpolated coarse path; with
+    `attn=True` ("linear_attn" mode) one depth-1 Swin block with cRSE refines
+    the merged features at the fine level (reference builds a BasicLayer with
+    the fine level's heads/window, drop_path=0.1, :349-362)."""
 
     out_channels: int
     up_k: int = 3
+    attn: bool = False
+    num_heads: int = 6
+    window_size: int = 5
+    quant_size: int = 4
+    cRSE: str = "XYZ_RGB"
+    patch_size: int = 128
 
     @nn.compact
-    def __call__(self, feat_c, level_c: SwinLevel, feat_f, level_f: SwinLevel):
+    def __call__(self, feat_c, level_c: SwinLevel, feat_f, level_f: SwinLevel, train: bool = False):
         skip = nn.Dense(self.out_channels, name="linear1")(nn.LayerNorm(name="norm1")(feat_f))
         y = nn.Dense(self.out_channels, name="linear2")(nn.LayerNorm(name="norm2")(feat_c))
         up = interpolation(
@@ -190,7 +200,20 @@ class Upsample(nn.Module):
             jnp.where(level_f.mask, level_f.batch, -2),
             k=self.up_k,
         )
-        return skip + up
+        x = skip + up
+        if self.attn and self.window_size > 0:
+            x = SwinBlock(
+                self.out_channels,
+                self.num_heads,
+                self.window_size,
+                self.quant_size,
+                cRSE=self.cRSE,
+                drop_path=0.1,
+                patch_size=self.patch_size,
+                shifted=False,
+                name="block",
+            )(x, level_f, train)
+        return x
 
 
 @MODELS.register_module("Swin3D-v1m1")
@@ -255,7 +278,18 @@ class Swin3DUNet(nn.Module):
         ui = 0
         while skips:
             f_f, l_f = skips.pop()
-            feat = Upsample(f_f.shape[-1], up_k=self.up_k, name=f"up{ui}")(feat, level, f_f, l_f)
+            fine_i = len(skips)  # index of the fine level being restored
+            feat = Upsample(
+                f_f.shape[-1],
+                up_k=self.up_k,
+                attn="attn" in self.upsample,
+                num_heads=self.num_heads[fine_i],
+                window_size=self.window_sizes[fine_i],
+                quant_size=self.quant_size,
+                cRSE=self.cRSE,
+                patch_size=self.patch_size,
+                name=f"up{ui}",
+            )(feat, level, f_f, l_f, train)
             level = l_f
             ui += 1
 

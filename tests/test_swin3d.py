@@ -71,6 +71,38 @@ def test_swin3d_forward_and_grad():
         assert t and sum(t) > 0, nm
 
 
+def test_swin3d_linear_attn_upsample():
+    """upsample="linear_attn" adds a depth-1 cRSE Swin block per Upsample
+    (reference swin3d_layers.py Upsample :349-382) that participates in the
+    graph: its params exist and receive gradient."""
+    cfg = swin_cfg()
+    cfg["upsample"] = "linear_attn"
+    model = build_model(cfg)
+    pb = make_batch()
+    params = model.init(jax.random.PRNGKey(0), pb, train=False)
+    names = [
+        "/".join(str(k.key) for k in kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]
+    ]
+    assert any("up0/block" in n and "qkv" in n for n in names)
+    out, _ = model.apply(
+        params, pb, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(np.asarray(out.feat)[np.asarray(pb.batch) >= 0]).all()
+
+    def loss_fn(p):
+        o, _ = model.apply(p, pb, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                           mutable=["batch_stats"])
+        return jnp.sum(jnp.where((pb.batch >= 0)[:, None], o.feat, 0.0) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    t = [np.abs(np.asarray(v)).sum() for kp, v in flat
+         if "up0" in str(kp) and "block" in str(kp)]
+    assert t and sum(t) > 0
+
+
 def test_crse_attention_matches_bruteforce():
     from pointcept_tpu.ops.window_ops import crse_window_attention, window_sort
 
