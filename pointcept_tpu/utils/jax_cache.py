@@ -10,13 +10,13 @@ from __future__ import annotations
 import os
 
 
-def enable_persistent_cache(path: str = "/root/.jax_compile_cache"):
+def enable_persistent_cache(path: str = "/root/.jax_compile_cache", min_compile_secs: float = 1.0):
     import jax
 
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # cache is an optimization; never fail on it
         pass

@@ -19,6 +19,13 @@ os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the CI/bench boxes have 1-2 cores, and a cold
+# quick-tier run is compile-dominated; cached executables make re-runs cheap
+from pointcept_tpu.utils.jax_cache import enable_persistent_cache
+
+enable_persistent_cache("/root/.jax_compile_cache_tests", min_compile_secs=0.2)
+
 assert jax.devices()[0].platform == "cpu", f"tests must run on CPU, got {jax.devices()}"
 assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.device_count()}"
 
