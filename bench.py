@@ -137,8 +137,13 @@ def tester_bench(on_tpu: bool):
 
     model_cfg, capacity, _ = ptv3_base_cfg(on_tpu)
     if on_tpu:
-        capacity = 110592  # single-fragment capacity (fragments = #voxels <= ~105k)
-        raw_points, n_scenes = 160000, int(os.environ.get("BENCH_TESTER_SCENES", "2"))
+        # single-fragment capacity: fragments carry every voxel of the scene.
+        # 200k raw points over a 4 m room = 114,200 voxels at 2 cm with
+        # stride-2 parents 0.339/0.226/0.237/0.250 of the previous stage —
+        # ScanNet-like density, fits every pool_capacity_factor stage with
+        # >=15% margin (the tester raises loudly on overflow)
+        capacity = 131072
+        raw_points, n_scenes = 200000, int(os.environ.get("BENCH_TESTER_SCENES", "2"))
     else:
         raw_points, n_scenes = 6000, 2
     save_path = tempfile.mkdtemp(prefix="bench_tester_")
@@ -160,6 +165,7 @@ def tester_bench(on_tpu: bool):
                     num_scenes=n_scenes,
                     num_points=raw_points,
                     num_classes=20,
+                    extent=4.0 if on_tpu else 8.0,
                     transform=[
                         dict(type="CenterShift", apply_z=True),
                         dict(type="NormalizeColor"),
@@ -355,10 +361,14 @@ def main():
     # SemSegTester.test() val workload: host GridSample test fragments, padded
     # single-fragment forwards, softmax accumulation, inverse mapping)
     if os.environ.get("BENCH_TESTER", "1") == "1":
-        t_scenes, t_frags, n_frags = tester_bench(on_tpu)
-        out["tester_scenes_per_sec"] = round(t_scenes, 3)
-        out["tester_fragments_per_sec"] = round(t_frags, 3)
-        out["tester_fragments_total"] = n_frags
+        # a tester failure must not sink the headline metric: record it
+        try:
+            t_scenes, t_frags, n_frags = tester_bench(on_tpu)
+            out["tester_scenes_per_sec"] = round(t_scenes, 3)
+            out["tester_fragments_per_sec"] = round(t_frags, 3)
+            out["tester_fragments_total"] = n_frags
+        except Exception as e:  # noqa: BLE001
+            out["tester_error"] = f"{type(e).__name__}: {e}"[:300]
 
     print(json.dumps(out))
 

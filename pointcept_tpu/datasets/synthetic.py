@@ -72,12 +72,14 @@ class SyntheticSemSegDataset(DefaultDataset):
         num_points=120000,
         num_classes=20,
         seed_offset=0,
+        extent=8.0,
         **kwargs,
     ):
         self.num_scenes = num_scenes
         self.num_points = num_points
         self.num_classes = num_classes
         self.seed_offset = seed_offset
+        self.extent = extent
         kwargs.setdefault("data_root", "/nonexistent")
         super().__init__(**kwargs)
 
@@ -86,7 +88,9 @@ class SyntheticSemSegDataset(DefaultDataset):
 
     def get_data(self, idx):
         i = idx % len(self.data_list)
-        data = synthesize_scene(self.seed_offset + i, self.num_points, self.num_classes)
+        data = synthesize_scene(
+            self.seed_offset + i, self.num_points, self.num_classes, extent=self.extent
+        )
         data["name"] = self.data_list[i]
         data["split"] = self.split
         return data

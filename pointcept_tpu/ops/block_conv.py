@@ -483,7 +483,42 @@ def block_subm_conv(
         use_lax = False
     if _os.environ.get("BLOCK_CONV_LAX", "0") == "1":
         use_lax = True
-    if use_lax:
+
+    # 2-D banded formulation (BLOCK_CONV_2D=1): z folds into lanes. The 3-D
+    # lax.conv brackets every conv with 5-D NDHWC layout copies (~10 ms/conv
+    # at full res, 22% of the r4 step profile) and tiles C=64 lanes at
+    # T(4,128) half-waste. Instead: halo tiles stay the flat row-major
+    # [R, H, H, H*Cin] (free reshapes of `_halo_expand_flat` output), the
+    # banded weight `pack_w2` [k^2, H*Cin, b*Cout] applies all k^3 taps as a
+    # 2-D VALID NHWC conv — no 5-D tensor exists, lanes are >=256 wide, and
+    # the z-band's zero rows cost H/k extra MXU FLOPs (~2x of a 5% MFU
+    # workload — free). Falls back to 3-D lax where the banded weight
+    # exceeds the VMEM-friendly cap (C>=128 stages).
+    hsz = bsz + 2 * halo
+    banded_bytes = (
+        kernel_size * kernel_size * hsz * cin * bsz * cout * jnp.dtype(compute_dtype).itemsize
+    )
+    use_2d = (
+        _os.environ.get("BLOCK_CONV_2D", "0") == "1"
+        and halo > 0
+        and banded_bytes <= 4 * 2**20
+    )
+    if use_2d:
+        from pointcept_tpu.ops.pallas.tap_conv import pack_w2
+
+        hal2 = _halo_expand_flat(
+            dense.reshape(nrows, b3 * cin), nbr_ext, bsz, halo, cin
+        )  # [R, H^3*Cin], rows (g), lanes (x, y, z, c) raster
+        wb = pack_w2(weight, bsz, kernel_size, compute_dtype)  # [k^2*H*Cin, b*Cout]
+        out = jax.lax.conv_general_dilated(
+            hal2.reshape(nrows, hsz, hsz, hsz * cin),
+            wb.reshape(kernel_size, kernel_size, hsz * cin, bsz * cout),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [R, b, b, b*Cout] -> rows (g, ox, oy), lanes (oz, co): raster order
+        out = out.reshape(nrows * b3, cout)
+    elif use_lax:
         # legacy lax.conv path (kept for A/B benchmarking; the fused Pallas
         # path below is numerically equivalent and avoids the NDHWC layout
         # copies that bracketed every conv — see ops/pallas/tap_conv.py)
