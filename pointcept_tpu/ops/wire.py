@@ -187,3 +187,67 @@ def unpack_points(
         seg = ((cs >> 24) & 0xFF).astype(jnp.int32)
         out["segment"] = jnp.where(seg == 255, -1, seg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# raw word-packed wire (lossless, any float32/int32 array set)
+# ---------------------------------------------------------------------------
+
+
+def raw_manifest(arrays: Dict[str, "np.ndarray"]):
+    """Static manifest (name, dtype, shape) for `pack_raw`/`unpack_raw`.
+
+    Shapes must be identical across calls sharing one jitted consumer (the
+    tester pads every fragment to a fixed capacity, so they are).
+    """
+    out = []
+    for k in sorted(arrays):
+        v = arrays[k]
+        dt = np.dtype(v.dtype)
+        if dt == np.int64:
+            dt = np.dtype(np.int32)
+        if dt not in (np.dtype(np.float32), np.dtype(np.int32)):
+            raise ValueError(f"pack_raw supports f32/i32, got {k}: {v.dtype}")
+        out.append((k, dt.name, tuple(int(s) for s in v.shape)))
+    return tuple(out)
+
+
+def pack_raw(arrays: Dict[str, "np.ndarray"], manifest=None) -> "np.ndarray":
+    """Pack arrays into ONE contiguous int32 word buffer (host side).
+
+    Network-attached accelerators pay a fixed per-transfer RPC floor
+    (~24 ms measured through the bench tunnel); shipping one buffer instead
+    of one per array amortizes it. float32 is bit-cast (lossless); int64 is
+    range-checked and narrowed to int32.
+    """
+    manifest = raw_manifest(arrays) if manifest is None else manifest
+    parts = []
+    for k, dtname, shape in manifest:
+        v = np.asarray(arrays[k])
+        assert tuple(v.shape) == shape, f"{k}: {v.shape} != manifest {shape}"
+        if v.dtype == np.int64:
+            assert np.abs(v).max(initial=0) < 2**31, f"{k} overflows int32"
+            v = v.astype(np.int32)
+        if v.dtype == np.float32:
+            v = v.view(np.int32)
+        parts.append(np.ascontiguousarray(v, np.int32).reshape(-1))
+    return np.concatenate(parts) if parts else np.zeros((0,), np.int32)
+
+
+def unpack_raw(words, manifest) -> Dict[str, "jnp.ndarray"]:
+    """Device-side decode of `pack_raw` output (call inside jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    pos = 0
+    for k, dtname, shape in manifest:
+        n = int(np.prod(shape)) if shape else 1
+        chunk = jax.lax.slice(words, (pos,), (pos + n,))
+        if dtname == "float32":
+            arr = jax.lax.bitcast_convert_type(chunk, jnp.float32)
+        else:
+            arr = chunk
+        out[k] = arr.reshape(shape)
+        pos += n
+    return out
