@@ -41,6 +41,11 @@ def main():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
+    # persistent compile cache: both workers compile the same train/eval
+    # graphs; on the 1-core CI box a cold compile dominates the 1200 s budget
+    from pointcept_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache("/root/.jax_compile_cache_tests", min_compile_secs=0.2)
     import numpy as np
     from jax.experimental import multihost_utils
 

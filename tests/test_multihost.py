@@ -48,7 +48,8 @@ def test_two_process_train_and_checkpoint(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=1200)
+        # 1-core CI boxes time-slice both workers; cold compiles dominate
+        out, err = p.communicate(timeout=2400)
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{out[-2000:]}\n{err[-4000:]}"
