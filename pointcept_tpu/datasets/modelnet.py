@@ -49,7 +49,18 @@ class ModelNetDataset(DefaultDataset):
         path = osp.join(self.data_root, category, name + ".txt")
         raw = np.loadtxt(path, delimiter=",").astype(np.float32)
         if self.num_points is not None and raw.shape[0] > self.num_points:
-            raw = raw[: self.num_points]
+            if self.uniform_sampling:
+                # reference runs pointops.farthest_point_sampling on the full
+                # cloud (`modelnet.py:100`); host FPS here, deterministic per
+                # sample (seed = stable hash of the name) so records cache
+                # reproducibly
+                from pointcept_tpu.ops.pointops import fps_numpy
+
+                seed = int.from_bytes(name.encode()[-4:].rjust(4, b"\0"), "little")
+                sel = fps_numpy(raw[:, :3], self.num_points, seed=seed)
+                raw = raw[sel]
+            else:
+                raw = raw[: self.num_points]
         cat_idx = self.categories.index(category) if self.categories else 0
         return dict(
             coord=raw[:, :3],

@@ -721,3 +721,49 @@ def test_hue_saturation_transform_jitters_in_range():
     assert out.min() >= 0 and out.max() <= 255
     # value (max channel) is invariant under hue/saturation jitter
     assert np.all(np.abs(out.max(1) - color.max(1)) <= 1.0)
+
+
+def test_modelnet_uniform_sampling_fps(tmp_path):
+    """`uniform_sampling=True` must run real FPS at load (reference
+    `datasets/modelnet.py:100`), not silently head-truncate, and be
+    deterministic across loads."""
+    from pointcept_tpu.datasets.builder import build_dataset
+
+    root = tmp_path / "modelnet40_normal_resampled"
+    (root / "airplane").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    # a cloud whose head is spatially clustered so head-truncation and FPS
+    # provably differ: first half in a tiny ball, second half spread out
+    n = 400
+    pts = np.concatenate(
+        [rng.normal(0, 0.01, (n // 2, 3)), rng.uniform(-1, 1, (n // 2, 3))]
+    )
+    normals = rng.normal(size=(n, 3))
+    np.savetxt(root / "airplane" / "airplane_0001.txt", np.hstack([pts, normals]), delimiter=",")
+    (root / "modelnet40_train.txt").write_text("airplane_0001\n")
+    (root / "modelnet40_shape_names.txt").write_text("airplane\n")
+
+    def build(uniform):
+        return build_dataset(
+            dict(
+                type="ModelNetDataset",
+                split="train",
+                data_root=str(root),
+                num_points=64,
+                uniform_sampling=uniform,
+                transform=[],
+            )
+        )
+
+    head = build(False).get_data(0)
+    fps = build(True).get_data(0)
+    fps2 = build(True).get_data(0)
+    assert head["coord"].shape == fps["coord"].shape == (64, 3)
+    # head-truncation stays inside the clustered half; FPS must escape it
+    assert np.abs(head["coord"]).max() < 0.1
+    assert np.abs(fps["coord"]).max() > 0.5
+    assert not np.allclose(head["coord"], fps["coord"])
+    # deterministic: same selection on every load
+    assert np.array_equal(fps["coord"], fps2["coord"])
+    # FPS keeps normals aligned with their points
+    assert fps["normal"].shape == (64, 3)
