@@ -75,6 +75,10 @@ def ptv3_base_cfg(on_tpu: bool):
             # (pooled stages) of the stage capacity, +~25-30% margin
             block_bits=2,
             block_capacity_factor=(1 / 11, 1 / 15, 1 / 15, 1 / 15, 1 / 15),
+            # bf16 activation stream — the reference's own headline mode
+            # (configs/scannet/semseg-pt-v3m1-0-base.py: enable_amp=True).
+            # BENCH_AMP=0 reverts to the f32 stream for A/B.
+            amp=os.environ.get("BENCH_AMP", "1") == "1",
         )
     else:
         capacity, num_scenes, patch = 8192, 1, 128

@@ -44,7 +44,11 @@ class TesterBase:
         if self.verbose:
             self.logger.info(f"Save path: {cfg.save_path}")
         self.logger.info("=> Building model ...")
-        self.model = model if model is not None else build_model(dict(cfg.model))
+        from pointcept_tpu.models.builder import apply_amp_policy
+
+        self.model = model if model is not None else build_model(
+            apply_amp_policy(dict(cfg.model), cfg.get("enable_amp", False))
+        )
         self.logger.info("=> Building test dataset & loader ...")
         self.test_dataset = build_dataset(dict(cfg.data.test))
         self.state = state if state is not None else self.init_state()

@@ -315,7 +315,11 @@ class Trainer(TrainerBase):
 
     # ------------------------------------------------------------------ builders
     def build_model(self):
-        model = build_model(dict(self.cfg.model))
+        from pointcept_tpu.models.builder import apply_amp_policy
+
+        model = build_model(
+            apply_amp_policy(dict(self.cfg.model), self.cfg.get("enable_amp", False))
+        )
         return model
 
     def build_mesh(self):

@@ -66,8 +66,14 @@ class DefaultSegmentorV2(nn.Module):
             nn.Dense(self.num_classes, name="seg_head") if self.num_classes > 0 else lambda x: x
         )
 
-    def __call__(self, pb: PointBatch, train: bool = False):
-        out = self.backbone_module(pb, train)
+    def __call__(self, pb: PointBatch, train: bool = False, precomputed=None):
+        # `precomputed`: shared forward geometry from backbone.build_geometry
+        # (PT-v3 fragment-loop eval; all fragments of a scene reuse it)
+        out = (
+            self.backbone_module(pb, train)
+            if precomputed is None
+            else self.backbone_module(pb, train, precomputed=precomputed)
+        )
         if isinstance(out, tuple):  # enc-mode backbone: up-cast skip concat
             out_pb, skips = out
             skips = list(skips)

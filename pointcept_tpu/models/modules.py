@@ -76,7 +76,9 @@ class MaskedBatchNorm(nn.Module):
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
-            y = y * scale + bias
+            # keep the activation dtype (bf16 AMP stream): f32 params would
+            # silently promote the whole residual stream back to f32
+            y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
         return y
 
 
@@ -157,7 +159,7 @@ class PDNorm(nn.Module):
             mod = nn.Dense(2 * c, name="modulation")(nn.silu(context))
             shift, scale = jnp.split(mod, 2, axis=-1)
             y = y * (1.0 + scale) + shift
-        return y
+        return y.astype(x.dtype)
 
 
 class MLP(nn.Module):
@@ -167,12 +169,13 @@ class MLP(nn.Module):
     out_channels: int
     act: Callable = nn.gelu
     drop: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 under AMP)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_channels, name="fc1")(x)
+        x = nn.Dense(self.hidden_channels, dtype=self.dtype, name="fc1")(x)
         x = self.act(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
-        x = nn.Dense(self.out_channels, name="fc2")(x)
+        x = nn.Dense(self.out_channels, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         return x

@@ -137,6 +137,7 @@ class SerializedAttention(nn.Module):
     shift_coords: Optional[float] = None
     jitter_coords: Optional[float] = None
     rescale_coords: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 under AMP)
 
     @nn.compact
     def __call__(self, feat, grid_coord, partition, train: bool, coord=None, valid_n=None) -> jnp.ndarray:
@@ -156,11 +157,14 @@ class SerializedAttention(nn.Module):
         else:
             slot_to_point, point_to_slot, *rest = partition
             identity_layout = bool(rest[0]) if rest else False
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=conv_kernel_init, name="qkv")(feat)
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, kernel_init=conv_kernel_init,
+            dtype=self.dtype, name="qkv",
+        )(feat)
         if self.lora_rank > 0:
             a = self.param("lora_a", nn.initializers.normal(0.02), (c, self.lora_rank))
             b = self.param("lora_b", nn.initializers.zeros, (self.lora_rank, 3 * c))
-            qkv = qkv + (feat @ a) @ b
+            qkv = qkv + (feat @ a.astype(feat.dtype)) @ b.astype(feat.dtype)
         if win and win_order is not None:
             # rebase the stream AFTER the qkv projection: [N, 3C] rows gather at
             # full row-streaming rate, while the narrow [N, C] feat rows of the
@@ -233,7 +237,7 @@ class SerializedAttention(nn.Module):
                 identity_layout=identity_layout,
                 valid_n=valid_n,
             )
-        out = nn.Dense(c, kernel_init=conv_kernel_init, name="proj")(out)
+        out = nn.Dense(c, kernel_init=conv_kernel_init, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
 
@@ -260,6 +264,7 @@ class Block(nn.Module):
     shift_coords: Optional[float] = None
     jitter_coords: Optional[float] = None
     rescale_coords: Optional[float] = None
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 under AMP)
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr3, partition, train: bool, cpe_feat=None) -> PointBatch:
@@ -270,7 +275,7 @@ class Block(nn.Module):
             if self.layer_scale is None:
                 return x
             gamma = self.param(name, nn.initializers.constant(self.layer_scale), (c,))
-            return x * gamma
+            return x * gamma.astype(x.dtype)
         # xCPE residual. `cpe_feat` replicates a reference behavior the trained
         # weights depend on: PointSequential routes spconv modules through
         # `point.sparse_conv_feat` (reference modules.py:84-105), and
@@ -281,7 +286,7 @@ class Block(nn.Module):
         cpe = SubMConv(c, 27, use_bias=True, name="cpe_conv")(
             feat if cpe_feat is None else cpe_feat, nbr3
         )
-        cpe = nn.Dense(c, kernel_init=conv_kernel_init, name="cpe_linear")(cpe)
+        cpe = nn.Dense(c, kernel_init=conv_kernel_init, dtype=self.dtype, name="cpe_linear")(cpe)
         cpe = apply_ln("cpe_norm", self.pd, cpe, train, pb)
         feat = feat + cpe
 
@@ -302,6 +307,7 @@ class Block(nn.Module):
             shift_coords=self.shift_coords,
             jitter_coords=self.jitter_coords,
             rescale_coords=self.rescale_coords,
+            dtype=self.dtype,
             name="attn",
         )(x, pb.grid_coord, partition, train, coord=pb.coord,
           valid_n=pb.num_points if pb.num_scenes == 1 else None)
@@ -316,6 +322,7 @@ class Block(nn.Module):
             hidden_channels=int(c * self.mlp_ratio),
             out_channels=c,
             drop=self.proj_drop,
+            dtype=self.dtype,
             name="mlp",
         )(x, train)
         x = DropPath(self.drop_path, name="drop_path2")(ls("ls2_gamma", x), train)
@@ -323,6 +330,177 @@ class Block(nn.Module):
         if not self.pre_norm:
             feat = apply_ln("norm2", self.pd, feat, train, pb)
         return pb.replace(feat=feat)
+
+
+def pooling_geometry(
+    pb: PointBatch,
+    stride: int,
+    out_capacity: int,
+    orders,
+    needed,
+    identity_order0: bool,
+    scene_out=None,
+) -> dict:
+    """Feat-independent half of SerializedPooling: cluster assignment, head
+    compaction, pooled grid/batch/segment and pooled serialization keys.
+
+    Shared by the inline eval/train path and the precomputed-geometry path
+    (all test fragments of a scene pool identically — reference GridSample
+    test mode gives every fragment the same voxel set). Returns a dict of
+    traced arrays plus static ints; `SerializedPooling` consumes it for the
+    feat-dependent reductions."""
+    bits = 3 * (stride.bit_length() - 1)
+    pdepth = stride.bit_length() - 1
+    m = out_capacity
+    n = pb.capacity
+    s = pb.serialized_keys.shape[0]
+    reencode = orders is not None and needed is not None
+
+    keys0 = pb.serialized_keys[0]
+    order0 = pb.serialized_order[0]
+    inverse0 = pb.serialized_inverse[0]
+    if reencode:
+        shifted0 = ser.key_shift_right(keys0, bits)
+        shifted = None
+    else:
+        shifted = jnp.stack([ser.key_shift_right(pb.serialized_keys[i], bits) for i in range(s)])
+        shifted0 = shifted[0]
+    if identity_order0:
+        # sorted-persistent layout: the batch IS in order-0 order
+        sk = shifted0
+        valid_sorted = pb.batch >= 0
+    else:
+        sk = shifted0[order0]  # sorted (shift is monotone on sorted codes)
+        valid_sorted = pb.batch[order0] >= 0
+    prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
+    head = valid_sorted & ~prev_eq
+    sb = pb.scene_capacity is not None and scene_out is not None
+    if sb:
+        # scene-blocked: rank clusters WITHIN each scene so the pooled
+        # layout keeps static scene regions of scene_out rows. The
+        # per-scene overflow slot (u = scene_out + 1 segments per scene)
+        # keeps segment ids non-decreasing across the scene-tail padding.
+        S = pb.num_scenes
+        cs_in = pb.scene_capacity
+        ms = scene_out
+        assert m == S * ms and n == S * cs_in
+        cnt = jnp.cumsum(head.astype(jnp.int32))  # inclusive
+        bnd = np.arange(S) * cs_in
+        base = jnp.where(
+            jnp.asarray(bnd) > 0, cnt[np.maximum(bnd - 1, 0)], 0
+        )  # heads before each scene
+        srow = jnp.arange(n, dtype=jnp.int32) // cs_in
+        rank_in = (cnt - 1) - base[srow]
+        ok = valid_sorted & (rank_in < ms)
+        cluster_sorted = srow * ms + rank_in
+        u = ms + 1
+        seg_ids = srow * u + jnp.where(
+            valid_sorted, jnp.minimum(rank_in, ms), ms
+        )  # non-decreasing, overflow/padding -> per-scene slot ms
+        nseg = S * u
+        overflow = jnp.sum((valid_sorted & (rank_in >= ms)).astype(jnp.int32))
+        sb_spec = (S, u, ms)
+    else:
+        cluster_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+        ok = valid_sorted & (cluster_sorted < m)
+        seg_ids = jnp.where(ok, cluster_sorted, m)
+        nseg = m
+        overflow = jnp.sum((valid_sorted & (cluster_sorted >= m)).astype(jnp.int32))
+        sb_spec = None
+    # per-input-point cluster id (M = dropped/padding). NO scatters here:
+    # TPU scatters serialize, so everything routes through gathers and one
+    # compaction sort.
+    cl_sorted = jnp.where(ok, cluster_sorted, m)
+    cluster_of_point = (
+        cl_sorted if identity_order0 else jnp.take(cl_sorted, inverse0, axis=0)
+    )
+
+    # head compaction: ONE sort gives each cluster's head position; every
+    # head attribute is then a gather
+    if sb:
+        from pointcept_tpu.ops.segment_ops import scene_compaction
+
+        head_valid, hsel = scene_compaction(head, cnt, S, cs_in, ms)
+    else:
+        head_rank = jnp.where(head & ok, cluster_sorted, jnp.int32(n))
+        hr, hpos = jax.lax.sort((head_rank, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
+        if m > n:  # capacity can exceed the input point count in tiny configs
+            hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
+            hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
+        head_valid = hr[:m] < n
+        hsel = hpos[:m]
+    # point id of each cluster head
+    head_point = hsel if identity_order0 else jnp.take(order0, hsel, axis=0)
+    grid = jnp.where(head_valid[:, None], jnp.take(pb.grid_coord, head_point, axis=0) >> pdepth, 0)
+    batch = jnp.where(head_valid, jnp.take(pb.batch, head_point, axis=0), -1)
+    seg = None
+    if pb.segment is not None:
+        seg = jnp.where(head_valid, jnp.take(pb.segment, head_point, axis=0), -1)
+
+    # per-order pooled keys = shifted key of the cluster head point; with
+    # `reencode`, identically re-encoded from the pooled grid (hierarchical
+    # curve codes) for exactly the orders read at the pooled stage
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    if sb:
+        # scene-blocked padding keys: (scene, MAX, MAX) sorts to the scene
+        # tail, preserving static scene regions at the pooled stage
+        imax = jnp.int32(2**31 - 1)
+        slot_scene = iota_m // scene_out
+        sentinel_rows = jnp.stack(
+            [slot_scene, jnp.full_like(slot_scene, imax), jnp.full_like(slot_scene, imax)],
+            axis=-1,
+        )
+        kb_m = jnp.where(batch >= 0, batch, slot_scene).astype(jnp.int32)
+    else:
+        sentinel_rows = jnp.broadcast_to(
+            jnp.asarray([ser.BATCH_SENTINEL, 0, 0], jnp.int32), (m, 3)
+        )
+        kb_m = jnp.where(batch >= 0, batch, ser.BATCH_SENTINEL).astype(jnp.int32)
+    new_keys = []
+    new_order = []
+    new_inverse = []
+    for i in range(s):
+        if reencode:
+            if i == 0 or i in needed:
+                ki = ser.encode(grid, kb_m, pb.serialized_depth - pdepth, orders[i])
+                if sb:
+                    ki = jnp.where(head_valid[:, None], ki, sentinel_rows)
+            else:
+                ki = new_keys[0]  # placeholder — never read (see needed)
+        else:
+            ki = jnp.where(
+                head_valid[:, None], jnp.take(shifted[i], head_point, axis=0), sentinel_rows
+            )
+        new_keys.append(ki)
+        if i == 0:
+            # cluster ids were assigned in ascending keys[0] order and
+            # sentinel rows sort last, so keys[0] is ALREADY sorted:
+            # the argsort is the identity (exact, keys unique)
+            new_order.append(iota_m)
+            new_inverse.append(iota_m)
+        elif needed is not None and i not in needed:
+            # no attention block reads this order at the pooled stage;
+            # keys stay correct for deeper stages, permutation is identity
+            new_order.append(iota_m)
+            new_inverse.append(iota_m)
+        else:
+            oi = ser.argsort_keys(ki, pb.serialized_depth - pdepth)
+            new_order.append(oi)
+            new_inverse.append(ser.invert_order(oi))
+    return dict(
+        seg_ids=seg_ids,
+        nseg=nseg,
+        sb_spec=sb_spec,
+        cluster_of_point=cluster_of_point,
+        overflow=overflow,
+        grid=grid,
+        batch=batch,
+        segment=seg,
+        keys=jnp.stack(new_keys),
+        order=jnp.stack(new_order),
+        inverse=jnp.stack(new_inverse),
+        identity_order0=identity_order0,
+    )
 
 
 class SerializedPooling(nn.Module):
@@ -350,89 +528,43 @@ class SerializedPooling(nn.Module):
     # (code >> 3 == parent-cell code, z and hilbert alike), so the values are
     # identical, but full-res keys need not be carried through the stage
     orders: Optional[Tuple[str, ...]] = None
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 under AMP)
 
     @nn.compact
     def __call__(self, pb: PointBatch, train: bool, shuffle_key=None, pre=None, needed=None,
-                 identity_order0: bool = False):
+                 identity_order0: bool = False, geom: Optional[dict] = None):
         if pre is not None:
             return self._precomputed(pb, train, pre)
-        bits = 3 * (self.stride.bit_length() - 1)
         pdepth = self.stride.bit_length() - 1
         m = self.out_capacity
-        n = pb.capacity
-        s = pb.serialized_keys.shape[0]
-        reencode = self.orders is not None and needed is not None
-
-        keys0 = pb.serialized_keys[0]
-        order0 = pb.serialized_order[0]
-        inverse0 = pb.serialized_inverse[0]
-        if reencode:
-            shifted0 = ser.key_shift_right(keys0, bits)
-        else:
-            shifted = jnp.stack([ser.key_shift_right(pb.serialized_keys[i], bits) for i in range(s)])
-            shifted0 = shifted[0]
-        if identity_order0:
-            # sorted-persistent layout: the batch IS in order-0 order
-            sk = shifted0
-            valid_sorted = pb.batch >= 0
-        else:
-            sk = shifted0[order0]  # sorted (shift is monotone on sorted codes)
-            valid_sorted = pb.batch[order0] >= 0
-        prev_eq = jnp.concatenate([jnp.array([False]), ser.keys_equal(sk[1:], sk[:-1])])
-        head = valid_sorted & ~prev_eq
-        sb = pb.scene_capacity is not None and self.scene_out is not None
-        if sb:
-            # scene-blocked: rank clusters WITHIN each scene so the pooled
-            # layout keeps static scene regions of scene_out rows. The
-            # per-scene overflow slot (u = scene_out + 1 segments per scene)
-            # keeps segment ids non-decreasing across the scene-tail padding.
-            S = pb.num_scenes
-            cs_in = pb.scene_capacity
-            ms = self.scene_out
-            assert m == S * ms and n == S * cs_in
-            cnt = jnp.cumsum(head.astype(jnp.int32))  # inclusive
-            bnd = np.arange(S) * cs_in
-            base = jnp.where(
-                jnp.asarray(bnd) > 0, cnt[np.maximum(bnd - 1, 0)], 0
-            )  # heads before each scene
-            srow = jnp.arange(n, dtype=jnp.int32) // cs_in
-            rank_in = (cnt - 1) - base[srow]
-            ok = valid_sorted & (rank_in < ms)
-            cluster_sorted = srow * ms + rank_in
-            u = ms + 1
-            seg_ids = srow * u + jnp.where(
-                valid_sorted, jnp.minimum(rank_in, ms), ms
-            )  # non-decreasing, overflow/padding -> per-scene slot ms
-            nseg = S * u
+        if geom is None:
+            geom = pooling_geometry(
+                pb, self.stride, m, self.orders, needed, identity_order0,
+                scene_out=self.scene_out,
+            )
+        identity_order0 = geom["identity_order0"]
+        order0 = pb.serialized_order[0] if pb.serialized_order is not None else None
+        inverse0 = pb.serialized_inverse[0] if pb.serialized_inverse is not None else None
+        seg_ids, nseg, sb_spec = geom["seg_ids"], geom["nseg"], geom["sb_spec"]
+        if sb_spec is not None:
+            S, u, ms = sb_spec
 
             def compact(x):  # [S*u(,C)] -> [S*ms(,C)]
                 return x.reshape((S, u) + x.shape[1:])[:, :ms].reshape((m,) + x.shape[1:])
 
-            overflow = jnp.sum((valid_sorted & (rank_in >= ms)).astype(jnp.int32))
         else:
-            cluster_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
-            ok = valid_sorted & (cluster_sorted < m)
-            seg_ids = jnp.where(ok, cluster_sorted, m)
-            nseg = m
 
             def compact(x):
                 return x
 
-            overflow = jnp.sum((valid_sorted & (cluster_sorted >= m)).astype(jnp.int32))
-        # per-input-point cluster id (M = dropped/padding). NO scatters here:
-        # TPU scatters serialize, so everything routes through gathers and one
-        # compaction sort.
-        cl_sorted = jnp.where(ok, cluster_sorted, m)
         if self.is_mutable_collection("diagnostics") and not self.is_initializing():
             # clusters beyond out_capacity vanish from the pooled stage;
             # surface the dropped-point count so capacity mis-sizing is
             # visible in metrics (opt-in: eval graph unchanged)
-            self.sow("diagnostics", "pool_overflow", overflow)
-        cluster_of_point = (
-            cl_sorted if identity_order0 else jnp.take(cl_sorted, inverse0, axis=0)
-        )
+            self.sow("diagnostics", "pool_overflow", geom["overflow"])
+        cluster_of_point = geom["cluster_of_point"]
 
-        proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
+        proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, dtype=self.dtype, name="proj")(pb.feat)
         # reduce in the sorted layout: cluster ids are non-decreasing there
         proj_sorted = proj if identity_order0 else permute_rows(proj, order0, inverse0)
         feat = compact(segment_reduce(proj_sorted, seg_ids, nseg, reduce=self.reduce, indices_are_sorted=True))
@@ -448,97 +580,21 @@ class SerializedPooling(nn.Module):
             else None
         )
 
-        # head compaction: ONE sort gives each cluster's head position; every
-        # head attribute is then a gather
-        if sb:
-            from pointcept_tpu.ops.segment_ops import scene_compaction
-
-            head_valid, hsel = scene_compaction(head, cnt, S, cs_in, ms)
-        else:
-            head_rank = jnp.where(head & ok, cluster_sorted, jnp.int32(n))
-            hr, hpos = jax.lax.sort((head_rank, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
-            if m > n:  # capacity can exceed the input point count in tiny configs
-                hr = jnp.concatenate([hr, jnp.full((m - n,), n, jnp.int32)])
-                hpos = jnp.concatenate([hpos, jnp.zeros((m - n,), jnp.int32)])
-            head_valid = hr[:m] < n
-            hsel = hpos[:m]
-        # point id of each cluster head
-        head_point = hsel if identity_order0 else jnp.take(order0, hsel, axis=0)
-        grid = jnp.where(head_valid[:, None], jnp.take(pb.grid_coord, head_point, axis=0) >> pdepth, 0)
-        batch = jnp.where(head_valid, jnp.take(pb.batch, head_point, axis=0), -1)
-        seg = None
-        if pb.segment is not None:
-            seg = jnp.where(head_valid, jnp.take(pb.segment, head_point, axis=0), -1)
-
-        # per-order pooled keys = shifted key of the cluster head point; with
-        # `reencode`, identically re-encoded from the pooled grid (hierarchical
-        # curve codes) for exactly the orders read at the pooled stage
-        iota_m = jnp.arange(m, dtype=jnp.int32)
-        if sb:
-            # scene-blocked padding keys: (scene, MAX, MAX) sorts to the scene
-            # tail, preserving static scene regions at the pooled stage
-            imax = jnp.int32(2**31 - 1)
-            slot_scene = iota_m // self.scene_out
-            sentinel_rows = jnp.stack(
-                [slot_scene, jnp.full_like(slot_scene, imax), jnp.full_like(slot_scene, imax)],
-                axis=-1,
-            )
-            kb_m = jnp.where(batch >= 0, batch, slot_scene).astype(jnp.int32)
-        else:
-            sentinel_rows = jnp.broadcast_to(
-                jnp.asarray([ser.BATCH_SENTINEL, 0, 0], jnp.int32), (m, 3)
-            )
-            kb_m = jnp.where(batch >= 0, batch, ser.BATCH_SENTINEL).astype(jnp.int32)
-        new_keys = []
-        new_order = []
-        new_inverse = []
-        for i in range(s):
-            if reencode:
-                if i == 0 or i in needed:
-                    ki = ser.encode(grid, kb_m, pb.serialized_depth - pdepth, self.orders[i])
-                    if sb:
-                        ki = jnp.where(head_valid[:, None], ki, sentinel_rows)
-                else:
-                    ki = new_keys[0]  # placeholder — never read (see needed)
-            else:
-                ki = jnp.where(
-                    head_valid[:, None], jnp.take(shifted[i], head_point, axis=0), sentinel_rows
-                )
-            new_keys.append(ki)
-            if i == 0:
-                # cluster ids were assigned in ascending keys[0] order and
-                # sentinel rows sort last, so keys[0] is ALREADY sorted:
-                # the argsort is the identity (exact, keys unique)
-                new_order.append(iota_m)
-                new_inverse.append(iota_m)
-            elif needed is not None and i not in needed:
-                # no attention block reads this order at the pooled stage;
-                # keys stay correct for deeper stages, permutation is identity
-                new_order.append(iota_m)
-                new_inverse.append(iota_m)
-            else:
-                oi = ser.argsort_keys(ki, pb.serialized_depth - pdepth)
-                new_order.append(oi)
-                new_inverse.append(ser.invert_order(oi))
-        new_keys = jnp.stack(new_keys)
-        new_order = jnp.stack(new_order)
-        new_inverse = jnp.stack(new_inverse)
-
         out = PointBatch(
             coord=coord,
             feat=feat,
-            grid_coord=grid,
-            batch=batch,
+            grid_coord=geom["grid"],
+            batch=geom["batch"],
             origin_coord=origin_coord,
-            segment=seg,
+            segment=geom["segment"],
             condition=pb.condition,
             context=pb.context,
-            serialized_keys=new_keys,
-            serialized_order=new_order,
-            serialized_inverse=new_inverse,
+            serialized_keys=geom["keys"],
+            serialized_order=geom["order"],
+            serialized_inverse=geom["inverse"],
             serialized_depth=pb.serialized_depth - pdepth,
             num_scenes=pb.num_scenes,
-            scene_capacity=self.scene_out if sb else None,
+            scene_capacity=self.scene_out if sb_spec is not None else None,
         )
         out = out.replace(feat=nn.gelu(apply_bn("norm", self.pd, out.feat, out.mask, train, out)))
         if self.shuffle_orders and shuffle_key is not None:
@@ -555,7 +611,7 @@ class SerializedPooling(nn.Module):
         cluster = pre["cluster"]
         assert cluster.shape[0] == pb.capacity
         assert pre["batch"].shape[0] == m, (pre["batch"].shape, m)
-        proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
+        proj = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, dtype=self.dtype, name="proj")(pb.feat)
         feat = segment_reduce(proj, cluster, m, reduce=self.reduce)
         coord = pre.get("coord")
         if coord is None:
@@ -586,14 +642,17 @@ class SerializedUnpooling(nn.Module):
 
     out_channels: int
     pd: PDCfg = None
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 under AMP)
 
     @nn.compact
     def __call__(self, pb: PointBatch, skip_pb: PointBatch, cluster: jnp.ndarray, train: bool) -> PointBatch:
         m = pb.capacity
-        x = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj")(pb.feat)
+        x = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, dtype=self.dtype, name="proj")(pb.feat)
         x = apply_bn("proj_norm", self.pd, x, pb.mask, train, pb)
         x = nn.gelu(x)
-        skip = nn.Dense(self.out_channels, kernel_init=conv_kernel_init, name="proj_skip")(skip_pb.feat)
+        skip = nn.Dense(
+            self.out_channels, kernel_init=conv_kernel_init, dtype=self.dtype, name="proj_skip"
+        )(skip_pb.feat)
         skip = apply_bn("proj_skip_norm", self.pd, skip, skip_pb.mask, train, skip_pb)
         skip = nn.gelu(skip)
         up = jnp.take(x, jnp.minimum(cluster, m - 1), axis=0)
@@ -615,11 +674,12 @@ class Embedding(nn.Module):
     pd: PDCfg = None
     mode: str = "conv"
     mask_token: bool = False
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 under AMP)
 
     @nn.compact
     def __call__(self, pb: PointBatch, nbr5, train: bool, patch_mask=None) -> PointBatch:
         if self.mode == "linear":
-            feat = nn.Dense(self.embed_channels, name="stem_linear")(pb.feat)
+            feat = nn.Dense(self.embed_channels, dtype=self.dtype, name="stem_linear")(pb.feat)
             feat = apply_ln("stem_norm", self.pd, feat, train, pb)
             feat = nn.gelu(feat)
         else:
@@ -698,6 +758,11 @@ class PointTransformerV3(nn.Module):
     block_engine_min_points: int = 8192
     grid_size: float = 0.02  # used only when the input lacks grid_coord
     lora_rank: int = 0
+    # AMP: run the activation stream (Dense/conv/attention/residuals) in bf16
+    # with f32 params and f32 norm statistics — the TPU analogue of the
+    # reference's `enable_amp=True` torch.autocast forward, which the headline
+    # configs train with (reference configs/scannet/semseg-pt-v3m1-0-base.py:8)
+    amp: bool = False
     # v3m2 (sonata variant) options
     embed_mode: str = "conv"  # "linear" = v3m2 Linear+LN stem
     mask_token: bool = False
@@ -708,11 +773,229 @@ class PointTransformerV3(nn.Module):
     jitter_coords: Optional[float] = None
     rescale_coords: Optional[float] = None
 
-    @nn.compact
-    def __call__(self, pb: PointBatch, train: bool = False, patch_mask=None) -> PointBatch:
+    # ------------------------------------------------------------ geometry
+    # Shared by __call__ (inline) and build_geometry (precomputed): the
+    # feat-independent index structures of the forward.
+
+    def _block_tables(self, pb, stage, *, sb, shuffle_active, orders, ident0,
+                      count_overflow):
+        # scalar factor, or per-stage tuple (deeper stages hold far fewer
+        # occupied blocks per point: pooled clusters spread over the SAME
+        # spatial extent, so occupancy per 8^3 block rises ~2x per stage)
+        f = self.block_capacity_factor
+        if isinstance(f, (tuple, list)):
+            f = f[min(stage, len(f) - 1)]
+        if sb:
+            mb_s = default_block_capacity(pb.scene_capacity, f)
+            m = pb.num_scenes * mb_s
+        else:
+            mb_s = None
+            m = default_block_capacity(pb.capacity, f)
+        # order index 0 is the config's first order unless shuffling is
+        # active (then it could be any curve -> tables re-sort by z inside)
+        curve_is_z = (not shuffle_active) and orders[0] == "z"
+        return build_block_tables(
+            pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
+            pb.serialized_depth, m, block_bits=self.block_bits,
+            inverse0=pb.serialized_inverse[0],
+            curve_is_z=curve_is_z,
+            identity_order0=curve_is_z and ident0,
+            count_overflow=count_overflow,
+            scene_capacity=pb.scene_capacity if sb else None,
+            scene_block_capacity=mb_s,
+        )
+
+    def _stage_ctx(self, pb, stage, patch_size, *, sb, used, ident0, nbr3,
+                   block_tables_fn):
+        use_block = self.conv_engine == "block"
+        if nbr3 is None:
+            if use_block and pb.capacity >= self.block_engine_min_points:
+                nbr3 = block_tables_fn()
+            else:
+                depth_s = self.serialize_depth - stage
+                nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
+        if sb:
+            # scene-blocked: fixed windows, no partition index arrays.
+            # Order 0 is the physical layout (ident0 holds at every stage);
+            # other orders rebase the stream by their permutation.
+            counts = pb.scene_counts()
+            parts = {
+                oi: dict(
+                    kind="window",
+                    counts=counts,
+                    cap=pb.scene_capacity,
+                    order=None if oi == 0 else pb.serialized_order[oi],
+                    inverse=None if oi == 0 else pb.serialized_inverse[oi],
+                )
+                for oi in used
+            }
+        else:
+            parts = {
+                oi: pb.patch_partition(oi, patch_size) + (oi == 0 and ident0 and pb.num_scenes == 1,)
+                for oi in used
+            }
+        return dict(nbr3=nbr3, parts=parts)
+
+    def build_geometry(self, pb: PointBatch) -> dict:
+        """Feat-independent forward geometry, computed once and fed back via
+        `__call__(..., precomputed=...)`.
+
+        All test fragments of a scene share one voxel set (reference GridSample
+        test mode picks one point per voxel per fragment,
+        `datasets/transform.py:697-707` / reference `transform.py` test mode),
+        so serialization sorts, z-order block tables, patch partitions and
+        pooling clusters are identical across the fragment loop — ~20% of the
+        per-fragment device time rebuilt for every fragment before this path.
+
+        Plain method (no flax state): call it directly on the module instance
+        inside the same jit as the fragment forwards. Requires the in-graph
+        eval configuration (no host geometry, no order shuffle, no enc_mode).
+        """
         orders = tuple(self.order) if not isinstance(self.order, str) else (self.order,)
         s_orders = len(orders)
         num_stages = len(self.enc_depths)
+        assert pb.geometry is None and not self.enc_mode, (
+            "build_geometry supports the in-graph eval path only"
+        )
+
+        def used_orders(stage):
+            used = {0}
+            used |= {i % s_orders for i in range(self.enc_depths[stage])}
+            if stage < num_stages - 1:
+                used |= {i % s_orders for i in range(self.dec_depths[stage])}
+            return tuple(sorted(used))
+
+        pb = pb.with_grid_coord(self.grid_size)
+        # feat/origin stay out of the template: per-fragment data
+        pb = pb.replace(feat=None, origin_coord=None)
+        sorted_ok = self.sorted_layout
+        patch_align = max(tuple(self.enc_patch_size) + tuple(self.dec_patch_size))
+        sb = (
+            self.scene_blocked
+            and sorted_ok
+            and not self.enable_rpe
+            and orders[0] == "z"
+            and pb.capacity % pb.num_scenes == 0
+            and (pb.capacity // pb.num_scenes) % patch_align == 0
+            and patch_align % 128 == 0
+        )
+        if sb:
+            pb = pb.replace(scene_capacity=pb.capacity // pb.num_scenes)
+        pb = pb.serialize(
+            orders=orders, depth=self.serialize_depth, shuffle_key=None,
+            sort_indices=used_orders(0), key_orders=used_orders(0),
+        )
+        perm0 = unsort = None
+        if sorted_ok:
+            perm0, inv0 = pb.serialized_order[0], pb.serialized_inverse[0]
+            pb = pb.reorder(
+                perm0, inv0, rebase_orders=used_orders(0), rebase_keys=used_orders(0)
+            )
+            unsort = (inv0, perm0)
+
+        def ident0(stage):
+            return stage > 0 or sorted_ok
+
+        use_block = self.conv_engine == "block"
+        overflow = jnp.int32(0)
+        nbr5 = None
+        if self.embed_mode == "conv":
+            if use_block:
+                nbr5 = self._block_tables(
+                    pb, 0, sb=sb, shuffle_active=False, orders=orders,
+                    ident0=ident0(0), count_overflow=True,
+                )
+                overflow = overflow + nbr5["overflow"]
+            else:
+                nbr5 = build_subm_neighbor_map(
+                    pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5
+                )
+
+        stages = []
+        pools = []
+        pb0 = pb
+        cap = pb.capacity
+        cap_s_scene = pb.scene_capacity
+        for s in range(num_stages):
+            if s > 0:
+                if sb:
+                    cap_s_scene = _round_up(
+                        max(int(math.ceil(cap_s_scene * self.pool_capacity_factors[s - 1])), patch_align),
+                        patch_align,
+                    )
+                    cap = pb.num_scenes * cap_s_scene
+                else:
+                    cap = _round_up(max(int(math.ceil(cap * self.pool_capacity_factors[s - 1])), 128), 128)
+                g = pooling_geometry(
+                    pb, self.stride[s - 1], cap, orders, used_orders(s),
+                    identity_order0=ident0(s - 1),
+                    scene_out=cap_s_scene if sb else None,
+                )
+                overflow = overflow + g["overflow"]
+                pools.append(g)
+                pb = PointBatch(
+                    coord=jnp.zeros((cap, 3), jnp.float32),
+                    feat=None,
+                    grid_coord=g["grid"],
+                    batch=g["batch"],
+                    segment=g["segment"],
+                    serialized_keys=g["keys"],
+                    serialized_order=g["order"],
+                    serialized_inverse=g["inverse"],
+                    serialized_depth=pb.serialized_depth - (self.stride[s - 1].bit_length() - 1),
+                    num_scenes=pb.num_scenes,
+                    scene_capacity=cap_s_scene if sb else None,
+                )
+            pre_nbr3 = None
+            if s == 0 and use_block and isinstance(nbr5, dict):
+                pre_nbr3 = nbr5
+            elif s == 0 and nbr5 is not None and not isinstance(nbr5, dict):
+                pre_nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
+            ctx = self._stage_ctx(
+                pb, s, self.enc_patch_size[s], sb=sb, used=used_orders(s),
+                ident0=ident0(s), nbr3=pre_nbr3,
+                block_tables_fn=lambda pb=pb, s=s: self._block_tables(
+                    pb, s, sb=sb, shuffle_active=False, orders=orders,
+                    ident0=ident0(s), count_overflow=True,
+                ),
+            )
+            t = ctx["nbr3"]
+            if isinstance(t, dict) and "overflow" in t and t is not nbr5:
+                overflow = overflow + t["overflow"]
+            stages.append(ctx)
+        return dict(
+            pb0=pb0, perm0=perm0, unsort=unsort, nbr5=nbr5,
+            stages=stages, pools=pools, overflow=overflow,
+        )
+
+    @nn.compact
+    def __call__(self, pb: PointBatch, train: bool = False, patch_mask=None,
+                 precomputed=None) -> PointBatch:
+        orders = tuple(self.order) if not isinstance(self.order, str) else (self.order,)
+        s_orders = len(orders)
+        num_stages = len(self.enc_depths)
+        dt = jnp.bfloat16 if self.amp else None
+        if self.amp:
+            pb = pb.replace(feat=pb.feat.astype(jnp.bfloat16))
+        if precomputed is not None:
+            # shared forward geometry (build_geometry): serialization, layout
+            # permutation, conv tables, partitions and pooling clusters were
+            # computed once (all test fragments of a scene share them); this
+            # forward only moves the per-fragment features through it.
+            feat, coord, seg = pb.feat, pb.coord, pb.segment
+            perm0 = precomputed.get("perm0")
+            if perm0 is not None:
+                feat = jnp.take(feat, perm0, axis=0)
+                coord = jnp.take(coord, perm0, axis=0)
+                seg = None if seg is None else jnp.take(seg, perm0, axis=0)
+            pb = precomputed["pb0"].replace(
+                feat=feat, coord=coord, segment=seg,
+                condition=pb.condition, context=pb.context,
+            )
+            if self.is_mutable_collection("diagnostics") and not self.is_initializing():
+                # static-capacity drops live in the geometry; surface them so
+                # precise-eval overflow checks still see them
+                self.sow("diagnostics", "geom_overflow", precomputed["overflow"])
 
         geo = pb.geometry  # host-precomputed geometry (None = build in-graph)
 
@@ -745,7 +1028,8 @@ class PointTransformerV3(nn.Module):
                 used |= {i % s_orders for i in range(self.dec_depths[stage])}
             return tuple(sorted(used))
 
-        pb = pb.with_grid_coord(self.grid_size)
+        if precomputed is None:
+            pb = pb.with_grid_coord(self.grid_size)
         sorted_ok = (
             self.sorted_layout and geo is None and not self.enc_mode and not shuffle_active
         )
@@ -760,10 +1044,12 @@ class PointTransformerV3(nn.Module):
             and (pb.capacity // pb.num_scenes) % patch_align == 0
             and patch_align % 128 == 0
         )
-        if sb:
+        if sb and precomputed is None:
             pb = pb.replace(scene_capacity=pb.capacity // pb.num_scenes)
         unsort = None
-        if geo is None:
+        if precomputed is not None:
+            unsort = precomputed["unsort"]
+        elif geo is None:
             pb = pb.serialize(
                 orders=orders,
                 depth=self.serialize_depth,
@@ -773,7 +1059,7 @@ class PointTransformerV3(nn.Module):
                 # own (coarser) grid — only stage-0's orders need full-res keys
                 key_orders=None if shuffle_active else used_orders(0),
             )
-        if sorted_ok:
+        if sorted_ok and precomputed is None:
             perm0, inv0 = pb.serialized_order[0], pb.serialized_inverse[0]
             pb = pb.reorder(
                 perm0, inv0, rebase_orders=used_orders(0), rebase_keys=used_orders(0)
@@ -793,31 +1079,10 @@ class PointTransformerV3(nn.Module):
         use_block = self.conv_engine == "block" and geo is None
 
         def block_tables(pb, stage):
-            # scalar factor, or per-stage tuple (deeper stages hold far fewer
-            # occupied blocks per point: pooled clusters spread over the SAME
-            # spatial extent, so occupancy per 8^3 block rises ~2x per stage)
-            f = self.block_capacity_factor
-            if isinstance(f, (tuple, list)):
-                f = f[min(stage, len(f) - 1)]
-            if sb:
-                mb_s = default_block_capacity(pb.scene_capacity, f)
-                m = pb.num_scenes * mb_s
-            else:
-                mb_s = None
-                m = default_block_capacity(pb.capacity, f)
-            # order index 0 is the config's first order unless shuffling is
-            # active (then it could be any curve -> tables re-sort by z inside)
-            curve_is_z = (not shuffle_active) and orders[0] == "z"
             diag = self.is_mutable_collection("diagnostics") and not self.is_initializing()
-            t = build_block_tables(
-                pb.serialized_keys[0], pb.serialized_order[0], pb.grid_coord, pb.mask,
-                pb.serialized_depth, m, block_bits=self.block_bits,
-                inverse0=pb.serialized_inverse[0],
-                curve_is_z=curve_is_z,
-                identity_order0=curve_is_z and ident0(stage),
-                count_overflow=diag,
-                scene_capacity=pb.scene_capacity if sb else None,
-                scene_block_capacity=mb_s,
+            t = self._block_tables(
+                pb, stage, sb=sb, shuffle_active=shuffle_active, orders=orders,
+                ident0=ident0(stage), count_overflow=diag,
             )
             if diag:
                 # points in overflowed blocks get zero conv output; surface the
@@ -830,7 +1095,11 @@ class PointTransformerV3(nn.Module):
         nbr5 = None
         stage0_tables = None
         if self.embed_mode == "conv":
-            if geo is not None:
+            if precomputed is not None:
+                nbr5 = precomputed["nbr5"]
+                if use_block:
+                    stage0_tables = nbr5
+            elif geo is not None:
                 nbr5 = geo["nbr_stem"]
             elif use_block:
                 stage0_tables = block_tables(pb, 0)
@@ -839,7 +1108,7 @@ class PointTransformerV3(nn.Module):
                 nbr5 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, self.serialize_depth, 5)
         pb = Embedding(
             self.enc_channels[0], pd=pd, mode=self.embed_mode, mask_token=self.mask_token,
-            name="embedding",
+            dtype=dt, name="embedding",
         )(pb, nbr5, train, patch_mask=patch_mask)
 
         skips = []  # (skip_pb, cluster, stage_ctx)
@@ -854,38 +1123,18 @@ class PointTransformerV3(nn.Module):
                         for oi in range(s_orders)
                     },
                 )
-            if use_block and pb.capacity >= self.block_engine_min_points:
-                if stage == 0 and stage0_tables is not None:
-                    nbr3 = stage0_tables
-                else:
-                    nbr3 = block_tables(pb, stage)
-            elif stage == 0 and nbr5 is not None and not isinstance(nbr5, dict):
-                # the stage-0 k3 map is a column subset of the stem k5 map
-                nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
-            else:
-                depth_s = self.serialize_depth - stage
-                nbr3 = build_subm_neighbor_map(pb.grid_coord, pb.key_batch(), pb.mask, depth_s, 3)
-            if sb:
-                # scene-blocked: fixed windows, no partition index arrays.
-                # Order 0 is the physical layout (ident0 holds at every stage);
-                # other orders rebase the stream by their permutation.
-                counts = pb.scene_counts()
-                parts = {
-                    oi: dict(
-                        kind="window",
-                        counts=counts,
-                        cap=pb.scene_capacity,
-                        order=None if oi == 0 else pb.serialized_order[oi],
-                        inverse=None if oi == 0 else pb.serialized_inverse[oi],
-                    )
-                    for oi in used_orders(stage)
-                }
-            else:
-                parts = {
-                    oi: pb.patch_partition(oi, patch_size) + (oi == 0 and ident0(stage) and pb.num_scenes == 1,)
-                    for oi in used_orders(stage)
-                }
-            return dict(nbr3=nbr3, parts=parts)
+            nbr3 = None
+            if not (use_block and pb.capacity >= self.block_engine_min_points):
+                if stage == 0 and nbr5 is not None and not isinstance(nbr5, dict):
+                    # the stage-0 k3 map is a column subset of the stem k5 map
+                    nbr3 = nbr5[:, jnp.asarray(k3_columns_of_k5())]
+            elif stage == 0 and stage0_tables is not None:
+                nbr3 = stage0_tables
+            return self._stage_ctx(
+                pb, stage, patch_size, sb=sb, used=used_orders(stage),
+                ident0=ident0(stage), nbr3=nbr3,
+                block_tables_fn=lambda: block_tables(pb, stage),
+            )
 
         def pool_pre(stage):
             if geo is None:
@@ -925,12 +1174,17 @@ class PointTransformerV3(nn.Module):
                     pd=pd,
                     orders=orders,
                     scene_out=cap_s_scene if sb else None,
+                    dtype=dt,
                     name=f"enc{s}_down",
                 )(pb, train, rng_or_none("shuffle"), pre=pool_pre(s),
                   needed=None if shuffle_active else used_orders(s),
-                  identity_order0=ident0(s - 1))
+                  identity_order0=ident0(s - 1),
+                  geom=None if precomputed is None else precomputed["pools"][s - 1])
                 skips.append((skip_pb, cluster, stage_ctx))
-            stage_ctx = build_ctx(pb, s, self.enc_patch_size[s])
+            stage_ctx = (
+                precomputed["stages"][s] if precomputed is not None
+                else build_ctx(pb, s, self.enc_patch_size[s])
+            )
             for i in range(self.enc_depths[s]):
                 pb = Block(
                     channels=self.enc_channels[s],
@@ -952,6 +1206,7 @@ class PointTransformerV3(nn.Module):
                     shift_coords=self.shift_coords,
                     jitter_coords=self.jitter_coords,
                     rescale_coords=self.rescale_coords,
+                    dtype=dt,
                     name=f"enc{s}_block{i}",
                 )(pb, stage_ctx["nbr3"], stage_ctx["parts"][i % s_orders], train)
 
@@ -960,7 +1215,7 @@ class PointTransformerV3(nn.Module):
             for s in reversed(range(num_stages - 1)):
                 skip_pb, cluster, skip_ctx = skips[s]
                 pb, stale_cpe_feat = SerializedUnpooling(
-                    out_channels=dec_channels[s], pd=pd, name=f"dec{s}_up"
+                    out_channels=dec_channels[s], pd=pd, dtype=dt, name=f"dec{s}_up"
                 )(pb, skip_pb, cluster, train)
                 dp_slice = dec_dp[sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])][::-1]
                 for i in range(self.dec_depths[s]):
@@ -984,6 +1239,7 @@ class PointTransformerV3(nn.Module):
                         shift_coords=self.shift_coords,
                         jitter_coords=self.jitter_coords,
                         rescale_coords=self.rescale_coords,
+                        dtype=dt,
                         name=f"dec{s}_block{i}",
                     )(pb, skip_ctx["nbr3"], skip_ctx["parts"][i % s_orders], train,
                       cpe_feat=stale_cpe_feat if i == 0 else None)
