@@ -224,6 +224,64 @@ def tester_bench(on_tpu: bool):
         shutil.rmtree(save_path, ignore_errors=True)
 
 
+def train_bench(on_tpu: bool):
+    """Train-step throughput: the REAL hot loop (reference engines/train.py:185-246)
+    — jitted fwd+bwd+optimizer over the SPMD step builder the Trainer uses, at
+    the bench geometry (B scenes x 102k pts). Returns scenes/sec."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointcept_tpu.engines.train import build_train_step
+    from pointcept_tpu.models import build_model
+    from pointcept_tpu.utils.optimizer import build_optimizer
+    from pointcept_tpu.utils.scheduler import build_scheduler
+    from jax.sharding import Mesh
+
+    cfg, capacity, num_scenes = ptv3_base_cfg(on_tpu)
+    model = build_model(cfg)
+    batch = synthetic_batch(capacity, num_scenes, seed=0)
+    # device-axis wrapper (one chip): leading [1, ...] like Trainer shards
+    arrays = {k: jnp.asarray(np.asarray(v)[None]) for k, v in batch.items()}
+
+    import jax.random as jr
+
+    from pointcept_tpu.engines.train import make_point_batch
+
+    pb = make_point_batch({k: v[0] for k, v in arrays.items()}, num_scenes)
+    jinit = jax.jit(
+        lambda r: model.init(r, pb, train=True)
+    )
+    variables = jax.block_until_ready(
+        jinit({"params": jr.PRNGKey(0), "shuffle": jr.PRNGKey(1), "dropout": jr.PRNGKey(2)})
+    )
+    # reference scannet PTv3 recipe: AdamW + OneCycle (semseg-pt-v3m1-0-base.py)
+    sched = build_scheduler(dict(type="OneCycleLR", max_lr=0.006), total_steps=1000)
+    tx = build_optimizer(
+        dict(type="AdamW", lr=0.006, weight_decay=0.05), variables["params"], sched
+    )
+    from pointcept_tpu.engines.train import TrainState
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    step = build_train_step(model, tx, num_scenes, mesh)
+    key = jr.PRNGKey(7)
+    state, metrics = step(state, arrays, key)  # compile + warmup
+    jax.block_until_ready(metrics)
+    iters = 10 if on_tpu else 2
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, arrays, key)
+    jax.block_until_ready(metrics)
+    elapsed = time.perf_counter() - start
+    return iters * num_scenes / elapsed, float(metrics["loss"])
+
+
 def main():
     import jax
 
@@ -360,6 +418,15 @@ def main():
         # (points/voxel-block occupancy, grid size) match ScanNet val
         "note": "synthetic ScanNet-like scenes",
     }
+
+    # BENCH_TRAIN=1 also measures the jitted train step (fwd+bwd+optimizer)
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        try:
+            t_scenes, t_loss = train_bench(on_tpu)
+            out["train_scenes_per_sec"] = round(t_scenes, 3)
+            out["train_loss"] = round(t_loss, 4)
+        except Exception as e:  # noqa: BLE001
+            out["train_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # BENCH_TESTER=0 skips the fragment-TTA tester-loop measurement (the real
     # SemSegTester.test() val workload: host GridSample test fragments, padded

@@ -277,7 +277,8 @@ def _room_id(name):
     return "_".join(parts).replace("group", "").replace("sub", "")
 
 
-def process_scene(scene_glb, output_root, mapping_tsv=None, density=0.02):
+def process_scene(scene_glb, output_root, mapping_tsv=None, density=0.02,
+                  parse_images=False):
     scene_path = Path(scene_glb)
     label_path = scene_path.with_suffix("").with_suffix(".semantic.glb")
     txt_path = scene_path.with_suffix("").with_suffix(".semantic.txt")
@@ -349,8 +350,114 @@ def process_scene(scene_glb, output_root, mapping_tsv=None, density=0.02):
         out.mkdir(parents=True, exist_ok=True)
         for k, v in data.items():
             np.save(out / f"{k}.npy", v)
+        if parse_images:
+            im_dir = Path(output_root) / "images" / split / f"{scene_name}_{room_id}"
+            export_room_images(str(im_dir), data["coord"], data["color"], rng)
         written.append(str(out))
     return written
+
+
+# posed-image export (reference concerto/hm3d/preprocessed_hm3d.py:265-520):
+# HFOV-90 720^2 pinhole, NUM_ROTATIONS yaw views per room from a jittered
+# room-center eye position, per-frame pose + depth + correspondence tables.
+# The reference renders through habitat-sim; here the room's own sampled
+# surface cloud is splatted through a z-buffer (no simulator dependency) —
+# same tree layout, pose convention (cam-to-world), mm-uint16 depth and
+# (pixel_x, pixel_y, point_index) correspondence rows.
+HFOV = 90.0
+RESOLUTION = (720, 720)
+NUM_ROTATIONS = 4
+
+
+def camera_intrinsic(resolution=RESOLUTION, hfov=HFOV):
+    f = resolution[1] / (2.0 * np.tan(np.deg2rad(hfov) / 2.0))
+    return np.array(
+        [[f, 0, resolution[1] / 2.0], [0, f, resolution[0] / 2.0], [0, 0, 1]],
+        np.float64,
+    )
+
+
+def yaw_pose(position, heading_deg):
+    """cam-to-world [4,4] for a y-up world: OpenCV camera (x right, y down,
+    z forward) looking horizontally along `heading_deg` about +y."""
+    a = np.deg2rad(heading_deg)
+    z_c = np.array([np.sin(a), 0.0, -np.cos(a)])  # forward
+    y_c = np.array([0.0, -1.0, 0.0])  # down
+    x_c = np.cross(y_c, z_c)
+    pose = np.eye(4)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2] = x_c, y_c, z_c
+    pose[:3, 3] = position
+    return pose
+
+
+def render_rgbd(coord, color, intrinsic, pose, hw, splat=2):
+    """Point-splat z-buffer render: (uint8 [H,W,3] rgb, uint16 [H,W] depth mm).
+
+    Each visible point covers a (2*splat+1)^2 pixel footprint; the nearest
+    point per pixel wins (single lexsort, no python loop)."""
+    from pointcept_tpu.datasets.preprocessing.concerto.common import project_points
+
+    h, w = hw
+    uv, z, inside = project_points(coord, intrinsic, np.linalg.inv(pose), hw)
+    idx = np.flatnonzero(inside)
+    rgb = np.zeros((h, w, 3), np.uint8)
+    depth = np.zeros((h, w), np.uint16)
+    if idx.size == 0:
+        return rgb, depth
+    ui = np.round(uv[idx]).astype(np.int64)
+    zz = z[idx]
+    cc = np.asarray(color)[idx]
+    offs = np.arange(-splat, splat + 1)
+    ox, oy = np.meshgrid(offs, offs, indexing="ij")
+    px = (ui[:, 0][:, None] + ox.ravel()[None]).ravel()
+    py = (ui[:, 1][:, None] + oy.ravel()[None]).ravel()
+    k = offs.size * offs.size
+    zs = np.repeat(zz, k)
+    cs = np.repeat(cc, k, axis=0)
+    ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    px, py, zs, cs = px[ok], py[ok], zs[ok], cs[ok]
+    flat = py * w + px
+    order = np.lexsort((zs, flat))
+    head = np.concatenate([[True], flat[order][1:] != flat[order][:-1]])
+    win = order[head]
+    rgb.reshape(-1, 3)[flat[win]] = cs[win]
+    depth.reshape(-1)[flat[win]] = np.clip(zs[win] * 1000.0, 0, 65535).astype(np.uint16)
+    return rgb, depth
+
+
+def export_room_images(
+    im_dir,
+    coord,
+    color,
+    rng,
+    num_rotations=NUM_ROTATIONS,
+    resolution=RESOLUTION,
+    eye_height=1.5,
+    parse_depths=True,
+):
+    """Render + write one room's posed-image tree (color/pose/intrinsic/
+    depth/correspondence). Camera: room centroid jittered +-0.25 m (reference
+    navmesh-vertex mean + uniform jitter), eye at floor + `eye_height`,
+    `num_rotations` evenly spaced yaws from a random initial heading."""
+    from pointcept_tpu.datasets.preprocessing.concerto.common import export_image_scene
+
+    k = camera_intrinsic(resolution)
+    center = coord.mean(axis=0) + rng.uniform(-0.25, 0.25, 3)
+    floor = np.percentile(coord[:, 1], 5.0)
+    pos = np.array([center[0], floor + eye_height, center[2]])
+    init = rng.uniform(0.0, 90.0)
+    poses, colors, depths = [], [], []
+    for heading in np.linspace(init, init + 360.0, num_rotations + 1)[:-1]:
+        pose = yaw_pose(pos, heading)
+        rgb, depth = render_rgbd(coord, color, k, pose, resolution)
+        poses.append(pose)
+        colors.append(rgb)
+        depths.append(depth)
+    export_image_scene(
+        im_dir, colors, poses, k,
+        coord=coord, depths=depths if parse_depths else None,
+    )
+    return len(poses)
 
 
 def filter_scenes(dataset_root, num_keep=10000):
@@ -381,6 +488,10 @@ def main():
     parser.add_argument("--mapping_tsv", help="hm3dsem_category_mappings.tsv path")
     parser.add_argument("--density", type=float, default=0.02)
     parser.add_argument("--filter", action="store_true")
+    parser.add_argument(
+        "--parse_images", action="store_true",
+        help="also render posed RGB-D views + correspondence tables per room",
+    )
     parser.add_argument("--num_keep", type=int, default=10000)
     args = parser.parse_args()
     if args.filter:
@@ -394,9 +505,15 @@ def main():
         if not s.endswith("semantic.glb")
     ]
     for s in scenes:
-        rooms = process_scene(s, args.output_root, args.mapping_tsv, args.density)
+        rooms = process_scene(s, args.output_root, args.mapping_tsv, args.density,
+                              parse_images=args.parse_images)
         print(f"{s}: {len(rooms)} rooms")
 
 
 if __name__ == "__main__":
+    # allow running as a plain script (python .../hm3d.py): the image-export
+    # helpers import from the package
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[3]))
     main()

@@ -213,6 +213,97 @@ class TesterBase:
             cache[key] = fn
         return cache[key]
 
+    def _fragment_geometry_ok(self) -> bool:
+        """Gate for the shared-geometry fragment path: PT-v3 backbone with
+        in-graph geometry (fragments of one voxelization share their grid, so
+        serialization/block tables/partitions/pool clusters are built once
+        per scene instead of once per fragment)."""
+        if not self.cfg.get("fragment_geometry_reuse", True):
+            return False
+        if self.geometry_plan is not None:  # host-geometry path has its own reuse
+            return False
+        model_cfg = dict(self.cfg.model)
+        if model_cfg.get("type") not in ("DefaultSegmentorV2", "DefaultLORASegmentorV2"):
+            return False
+        bb = model_cfg.get("backbone")
+        return bool(bb) and str(dict(bb).get("type", "")).startswith("PT-v3")
+
+    def scene_accumulate(self, manifest, num_classes: int, n_slots: int):
+        """jit: one dispatch per fragment GROUP sharing one voxel grid.
+
+        Builds the forward geometry ONCE (PT-v3 build_geometry), then scans
+        batched forwards of B=4 fragments over it, scatter-adding each
+        fragment's softmax into the device-resident accumulator. vs the
+        per-fragment loop (`frag_accumulate`): geometry cost amortized over
+        the whole group and the forward runs at the batched (B=4) rate the
+        forward bench measured ~25% faster per point.
+        """
+        key = (manifest, num_classes, n_slots)
+        cache = getattr(self, "_scene_acc_cache", None)
+        if cache is None:
+            cache = self._scene_acc_cache = {}
+        if key in cache:
+            return cache[key]
+        from pointcept_tpu.ops.wire import unpack_raw
+
+        model = self.model
+        bb = build_model(dict(dict(self.cfg.model)["backbone"]))
+        B = min(4, n_slots)
+        assert n_slots % B == 0
+        G = n_slots // B
+        cap = self.test_capacity
+
+        def unpack_group(wb):  # [B, W] -> (arrays dict at B*cap, idx [B, cap])
+            ds = [unpack_raw(wb[b], manifest) for b in range(B)]
+            idx = jnp.stack([d.pop("pred_index") for d in ds])
+            arrays = {k: jnp.concatenate([d[k] for d in ds], axis=0) for k in ds[0]}
+            arrays["batch"] = jnp.concatenate(
+                [jnp.where(ds[b]["batch"] >= 0, b, -1) for b in range(B)]
+            )
+            return arrays, idx
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def fn(state, words, pred, dropped):  # words [n_slots, W] int32
+            vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+            a0, _ = unpack_group(words[:B])
+            pb0 = make_point_batch(a0, B)
+            geom = bb.build_geometry(pb0.replace(feat=None))
+
+            def body(carry, wb):
+                pred, dropped = carry
+                arrays, idx = unpack_group(wb)
+                pb = make_point_batch(arrays, B)
+                out, st = model.apply(
+                    vars_, pb, train=False, precomputed=geom, mutable=["diagnostics"]
+                )
+                leaves = jax.tree_util.tree_leaves(st.get("diagnostics", {}))
+                d = (
+                    sum(jnp.sum(l).astype(jnp.int32) for l in leaves)
+                    if leaves
+                    else jnp.int32(0)
+                )
+                probs = jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+                for b in range(B):
+                    pb_slice = jax.lax.dynamic_slice_in_dim(probs, b * cap, cap, axis=0)
+                    pred = pred.at[idx[b]].add(pb_slice, unique_indices=True)
+                return (pred, dropped + d), None
+
+            (pred, dropped), _ = jax.lax.scan(
+                body, (pred, dropped), words.reshape(G, B, words.shape[-1])
+            )
+            return pred, dropped
+
+        cache[key] = fn
+        return cache[key]
+
+    @staticmethod
+    def _slot_bucket(n: int) -> int:
+        """Fragment-group padding bucket: exact at 1/2, else multiples of 4
+        (bounds dummy-forward waste at <=3 fragments per group)."""
+        if n <= 2:
+            return n
+        return ((n + 3) // 4) * 4
+
     def check_dropped(self, dropped: int, n_valid: int, context: str):
         """Fail loudly when static capacities dropped points at eval.
 
@@ -274,7 +365,20 @@ class SemSegTester(TesterBase):
         arrays["pred_index"] = np.concatenate(
             [index.astype(np.int64), n_vox + np.arange(cap - n_frag)]
         ).astype(np.int32)
-        return pack_raw(arrays), raw_manifest(arrays), n_frag
+        # geometry key: fragments with identical voxel grids (same GridSample
+        # test-mode voxelization) share their whole forward geometry
+        import hashlib
+
+        gk = None
+        if "grid_coord" in arrays:
+            gk = (
+                hashlib.blake2b(
+                    np.ascontiguousarray(arrays["grid_coord"], np.int32).tobytes(),
+                    digest_size=16,
+                ).hexdigest(),
+                n_frag,
+            )
+        return pack_raw(arrays), raw_manifest(arrays), n_frag, gk
 
     def _prepare_scene(self, idx: int, fast: bool, save_path: str):
         """Prefetch-thread scene loader: dataset fragments + wire packing."""
@@ -309,20 +413,56 @@ class SemSegTester(TesterBase):
         rows = ((n_vox + bucket - 1) // bucket) * bucket + cap
         pred = jnp.zeros((rows, num_classes), jnp.float32)
         dropped = jnp.zeros((), jnp.int32)
-        fn = None
         total_pts = 0
-        for i, (words_np, manifest, n_frag) in enumerate(packed):
+        # group fragments by voxel-grid hash: within a group the whole forward
+        # geometry is shared, so the group runs as ONE dispatch (geometry once
+        # + scan of B=4-batched forwards) instead of per-fragment graphs
+        groups = OrderedDict()
+        use_groups = self._fragment_geometry_ok()
+        for rec in packed:
+            words_np, manifest, n_frag, gk = rec
             total_pts += n_frag
-            if fn is None:
-                fn = self.frag_accumulate(manifest, num_classes)
-            words = jax.device_put(words_np)
-            pred, dropped = fn(self.state, words, pred, dropped)
-            logger.info(
-                "Test: {}/{}-{data_name}, Fragment batch: {batch_idx}/{total_batch}".format(
-                    pos + 1, n_scenes, data_name=data_name, batch_idx=i,
-                    total_batch=len(packed),
+            if gk is None:
+                use_groups = False
+            groups.setdefault(gk, []).append(rec)
+        if use_groups:
+            for gi, (gk, recs) in enumerate(groups.items()):
+                manifest = recs[0][1]
+                n_slots = self._slot_bucket(len(recs))
+                stack = [r[0] for r in recs]
+                if n_slots > len(recs):
+                    # dummy slots: fragment 0's payload with an all-trash
+                    # pred_index so its forward contributes nothing
+                    off = 0
+                    for k, _dt, shape in manifest:
+                        if k == "pred_index":
+                            break
+                        off += int(np.prod(shape))
+                    dummy = stack[0].copy()
+                    dummy[off : off + cap] = n_vox + np.arange(cap, dtype=np.int32)
+                    stack += [dummy] * (n_slots - len(recs))
+                fn = self.scene_accumulate(manifest, num_classes, n_slots)
+                words = jax.device_put(np.stack(stack))
+                pred, dropped = fn(self.state, words, pred, dropped)
+                logger.info(
+                    "Test: {}/{}-{data_name}, Fragment group: {gi}/{ng} ({nf} frags)".format(
+                        pos + 1, n_scenes, data_name=data_name, gi=gi + 1,
+                        ng=len(groups), nf=len(recs),
+                    )
                 )
-            )
+        else:
+            fn = None
+            for i, (words_np, manifest, n_frag, _gk) in enumerate(packed):
+                if fn is None:
+                    fn = self.frag_accumulate(manifest, num_classes)
+                words = jax.device_put(words_np)
+                pred, dropped = fn(self.state, words, pred, dropped)
+                logger.info(
+                    "Test: {}/{}-{data_name}, Fragment batch: {batch_idx}/{total_batch}".format(
+                        pos + 1, n_scenes, data_name=data_name, batch_idx=i,
+                        total_batch=len(packed),
+                    )
+                )
         self.check_dropped(int(dropped), max(total_pts, 1), data_name)
         # fetch through a dense 1-D staging buffer: a [N, C] f32 array tiles
         # to (8, 128) lanes on TPU (C=20 -> 6.4x padding), and the de-tiling

@@ -537,7 +537,8 @@ class SerializedPooling(nn.Module):
             return self._precomputed(pb, train, pre)
         pdepth = self.stride.bit_length() - 1
         m = self.out_capacity
-        if geom is None:
+        inline_geom = geom is None
+        if inline_geom:
             geom = pooling_geometry(
                 pb, self.stride, m, self.orders, needed, identity_order0,
                 scene_out=self.scene_out,
@@ -557,10 +558,11 @@ class SerializedPooling(nn.Module):
             def compact(x):
                 return x
 
-        if self.is_mutable_collection("diagnostics") and not self.is_initializing():
+        if inline_geom and self.is_mutable_collection("diagnostics") and not self.is_initializing():
             # clusters beyond out_capacity vanish from the pooled stage;
             # surface the dropped-point count so capacity mis-sizing is
-            # visible in metrics (opt-in: eval graph unchanged)
+            # visible in metrics (opt-in: eval graph unchanged). Precomputed
+            # geometry reports its overflow once via __call__ instead.
             self.sow("diagnostics", "pool_overflow", geom["overflow"])
         cluster_of_point = geom["cluster_of_point"]
 

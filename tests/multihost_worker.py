@@ -27,16 +27,25 @@ def main():
         sys.argv[3],
         sys.argv[4],
     )
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # prewarm mode (pid == -1): same trainer graphs on a single process with
+    # the same GLOBAL device count, no jax.distributed — populates the
+    # persistent compile cache so the real 2-process run compiles nothing.
+    # Without it, the 1-core CI box cold-compiles inside the distributed
+    # section and one worker outlives Gloo's 1800 s collective window while
+    # the other waits in process_allgather (observed in the r4 review).
+    prewarm = pid < 0
+    n_local = 4 * nproc if prewarm else 4
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        f"localhost:{port}", num_processes=nproc, process_id=pid
-    )
-    assert jax.process_count() == nproc
-    assert jax.local_device_count() == 4
+    if not prewarm:
+        jax.distributed.initialize(
+            f"localhost:{port}", num_processes=nproc, process_id=pid
+        )
+        assert jax.process_count() == nproc
+        assert jax.local_device_count() == 4
     assert jax.device_count() == 4 * nproc
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -65,6 +74,12 @@ def main():
     )
     cfg = default_setup(cfg)
     trainer = TRAINERS.build(dict(type=cfg.train.type, cfg=cfg))
+
+    if prewarm:
+        # compile the train/eval graphs into the persistent cache and exit
+        trainer.train()
+        print(json.dumps({"pid": pid, "ok": True, "prewarm": True}))
+        return
 
     # --- per-host loader shards are disjoint and cover the dataset ---
     loader = trainer.train_loader

@@ -35,6 +35,18 @@ def test_two_process_train_and_checkpoint(tmp_path):
         # the workers pick their own platform/device-count flags
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    # single-process prewarm pass first: compiles the same global-mesh graphs
+    # into the persistent cache, so the distributed section below never
+    # cold-compiles inside Gloo's collective timeout window (1-core CI box)
+    pre = subprocess.run(
+        [sys.executable, worker, "-1", "2", str(port), str(tmp_path / "prewarm")],
+        capture_output=True,
+        env=env,
+        cwd=repo,
+        text=True,
+        timeout=2400,
+    )
+    assert pre.returncode == 0, f"prewarm failed:\n{pre.stdout[-2000:]}\n{pre.stderr[-4000:]}"
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],

@@ -6,6 +6,7 @@ hm3d (GLB mesh sampling + semantic-texture labels + top-N filter).
 """
 
 import json
+import os
 import struct
 
 import numpy as np
@@ -163,3 +164,52 @@ def test_hm3d_filter(tmp_path):
     assert len(moved) == 1 and moved[0].endswith("b")
     assert (root / "train_rm" / "b" / "color.npy").exists()
     assert (root / "train" / "a").exists() and (root / "val" / "c").exists()
+
+
+def test_hm3d_posed_image_export(hm3d_raw, tmp_path):
+    """--parse_images writes the reference concerto image tree per room:
+    color/depth/pose/correspondence + shared intrinsic, with geometrically
+    consistent depth <-> pose <-> correspondence tables."""
+    from pointcept_tpu.datasets.preprocessing.hm3d import (
+        NUM_ROTATIONS, camera_intrinsic, process_scene,
+    )
+
+    scene_dir, tsv = hm3d_raw
+    out_root = tmp_path / "out_img"
+    written = process_scene(
+        scene_dir / "abcdef.glb", out_root, mapping_tsv=tsv, density=0.05,
+        parse_images=True,
+    )
+    assert written
+    room = os.path.basename(written[0])
+    im_dir = out_root / "images" / "train" / room
+    for sub in ("color", "depth", "pose", "correspondence", "intrinsic"):
+        assert (im_dir / sub).is_dir() or sub == "intrinsic" and (im_dir / "intrinsic").is_dir()
+    frames = sorted(os.listdir(im_dir / "color"))
+    assert len(frames) == NUM_ROTATIONS
+    k = np.load(im_dir / "intrinsic" / "intrinsic.npy")
+    assert k.shape == (3, 3) and np.allclose(k, camera_intrinsic())
+    coord = np.load(out_root / "train" / room / "coord.npy")
+    from PIL import Image
+
+    pose = np.load(im_dir / "pose" / "0.npy")
+    depth = np.asarray(Image.open(im_dir / "depth" / "0.png"))
+    assert depth.dtype == np.uint16 and depth.shape == (720, 720)
+    corr = np.load(im_dir / "correspondence" / "0.npy")
+    assert corr.shape[1] == 3
+    # at least one frame sees the room; check its correspondence geometry
+    any_seen = False
+    for f in range(NUM_ROTATIONS):
+        corr = np.load(im_dir / "correspondence" / f"{f}.npy")
+        if corr.shape[0] <= 1 and corr.min() < 0:
+            continue
+        any_seen = True
+        pose = np.load(im_dir / "pose" / f"{f}.npy")
+        k = np.load(im_dir / "intrinsic" / "intrinsic.npy")
+        pts = coord[corr[:, 2].astype(int)]
+        cam = (np.linalg.inv(pose) @ np.c_[pts, np.ones(len(pts))].T).T[:, :3]
+        assert (cam[:, 2] > 0).all()  # visible points sit in front of the camera
+        proj = (k @ cam.T).T
+        proj = proj[:, :2] / proj[:, 2:3]
+        np.testing.assert_allclose(proj, corr[:, :2], atol=1.0)
+    assert any_seen

@@ -119,3 +119,41 @@ def test_device_accumulate_matches_host_loop(tmp_path):
         )
     assert res_f is not None and res_h is not None
     assert abs(res_f["mIoU"] - res_h["mIoU"]) < 1e-6
+
+
+def _block_cfg(tmp_path, sub, reuse):
+    cfg = _cfg(tmp_path, True, sub)
+    # block conv engine (no host-geometry plan) engages the shared-geometry
+    # grouped fragment path; fragment_geometry_reuse=False pins the old
+    # per-fragment loop on the same model for comparison
+    cfg.model["backbone"]["conv_engine"] = "block"
+    cfg.model["backbone"]["block_engine_min_points"] = 1024
+    # sparse synthetic scenes at 0.05 m occupy far more 8^3 blocks per point
+    # than ScanNet-density scans; size the static block table generously
+    cfg.model["backbone"]["block_capacity_factor"] = 0.5
+    cfg.fragment_geometry_reuse = reuse
+    return cfg
+
+
+def test_fragment_geometry_reuse_matches_per_fragment(tmp_path):
+    """Grouped path (shared build_geometry + B=4-batched scan) must reproduce
+    the per-fragment loop's accumulated predictions."""
+    os.makedirs(str(tmp_path / "grp"), exist_ok=True)
+    t1 = TESTERS.build(dict(type="SemSegTester", cfg=_block_cfg(tmp_path, "grp", True)))
+    assert t1._fragment_geometry_ok()
+    res1 = t1.test()
+    os.makedirs(str(tmp_path / "frag"), exist_ok=True)
+    t2 = TESTERS.build(dict(type="SemSegTester", cfg=_block_cfg(tmp_path, "frag", False)))
+    assert not t2._fragment_geometry_ok()
+    t2.state = t1.state
+    res2 = t2.test()
+    rd1 = os.path.join(str(tmp_path / "grp"), "result")
+    rd2 = os.path.join(str(tmp_path / "frag"), "result")
+    names = sorted(f for f in os.listdir(rd1) if f.endswith("_pred.npy"))
+    assert names
+    for f in names:
+        a = np.load(os.path.join(rd1, f))
+        b = np.load(os.path.join(rd2, f))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.argmax(a, -1), np.argmax(b, -1))
+    assert abs(res1["mIoU"] - res2["mIoU"]) < 1e-6
