@@ -269,9 +269,20 @@ def train_bench(on_tpu: bool):
         opt_state=tx.init(variables["params"]),
     )
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    # replicate the state onto the mesh BEFORE stepping (as Trainer.init_state
+    # does): jit specializes on input shardings, so an uncommitted init state
+    # silently compiles the step twice (~4 min each on the tunnel)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
     step = build_train_step(model, tx, num_scenes, mesh)
     key = jr.PRNGKey(7)
-    state, metrics = step(state, arrays, key)  # compile + warmup
+    # TWO warmup steps: the first compiles; the second catches any silent
+    # retrace from state-signature drift (tx.init leaves vs step outputs) so
+    # the timed loop is pure steady state
+    state, metrics = step(state, arrays, key)
+    jax.block_until_ready(metrics)
+    state, metrics = step(state, arrays, key)
     jax.block_until_ready(metrics)
     iters = 10 if on_tpu else 2
     start = time.perf_counter()

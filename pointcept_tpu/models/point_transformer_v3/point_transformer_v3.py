@@ -89,12 +89,32 @@ class SubMConv(nn.Module):
         cin = feat.shape[-1]
         w = self.param("weight", conv_kernel_init, (self.num_offsets, cin, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
+        # jax.checkpoint: the conv's intermediates (dense fill ~300 MB, halo
+        # tile ~1 GB per full-res conv at bench scale) would otherwise be
+        # saved as VJP residuals — the whole backward then spills HBM to host
+        # (measured 115 s/step through the bench tunnel). Rematerializing
+        # costs one extra fill+halo+conv in the backward; residuals shrink to
+        # the [N, C] input. No effect on forward-only graphs.
         if isinstance(geom, dict):  # block tables
             k = round(self.num_offsets ** (1.0 / 3.0))
-            return block_subm_conv(feat, geom, w, b, kernel_size=k)
+            statics = dict(
+                identity_order0=bool(geom.get("identity_order0", False)),
+                block_bits=int(geom.get("block_bits", 3)),
+            )
+            arrays = {
+                kk: v for kk, v in geom.items()
+                if kk not in ("identity_order0", "block_bits", "overflow")
+            }
+
+            def conv_fn(f, ww, bb_, t):
+                return block_subm_conv(f, {**t, **statics}, ww, bb_, kernel_size=k)
+
+            return jax.checkpoint(conv_fn)(feat, w, b, arrays)
         # bf16 gather+matmul (f32 accumulate): halves the gather traffic;
         # matches the reference's AMP behavior
-        return gather_conv(feat, geom, w, b, compute_dtype=jnp.bfloat16)
+        return jax.checkpoint(
+            lambda f, ww, bb_, g: gather_conv(f, g, ww, bb_, compute_dtype=jnp.bfloat16)
+        )(feat, w, b, geom)
 
 
 class RPE(nn.Module):

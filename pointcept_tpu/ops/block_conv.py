@@ -543,6 +543,32 @@ def block_subm_conv(
     # f32 upcast happens on the compact [N, Cout] result where it fuses into
     # the following norm (profiled: f32 conv output cost ~3 ms/conv extra at
     # full resolution)
+    res = _take_back(
+        out.reshape(nrows * b3, cout),
+        tables["rc_sorted"], tables["fill_start"],
+        (tables["slot"], tables["order0"], tables["inverse0"]),
+        bsz, compute_dtype, tables.get("identity_order0", False),
+    )
+    res = res.astype(feat.dtype)
+    if bias is not None:
+        res = res + bias
+    return res
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _take_back(out, rc_sorted, starts, slot_order, bsz: int, compute_dtype, identity: bool = False):
+    """Dense conv output -> per-point rows: the inverse of `_block_fill`.
+
+    Forward: row gather at `slot` (with the zfold widening trick for narrow
+    cout — sub-64-lane row gathers run ~2.5x slower per row, profiled).
+    Backward: the cotangent "scatter to slots" IS a block fill of g — the
+    Pallas one-hot kernel at ~3.5 ms instead of XLA's serializing scatter-add
+    (70 ms per full-res conv in the r5 train-step trace)."""
+    slot = slot_order[0]
+    b3 = bsz**3
+    n = slot.shape[0]
+    cout = out.shape[1]
+    total = out.shape[0]
     # take-back gather: every slot (incl. the nb*b3 trash slot) is in range.
     # For narrow cout, XLA stores the row-gather chain row-minor ({0,1}) to
     # avoid lane padding, which turns the gather into a 13.7 ms lane-crossing
@@ -556,17 +582,35 @@ def block_subm_conv(
     while cout * zfold < 64 and zfold < bsz and bsz % (zfold * 2) == 0:
         zfold *= 2
     if zfold > 1:
-        out4 = out.reshape(nrows * b3 // zfold, zfold * cout)
+        out4 = out.reshape(total // zfold, zfold * cout)
         g = pin_rowmajor(jnp.take(out4, slot // zfold, axis=0))
         sel = jax.nn.one_hot(slot % zfold, zfold, dtype=g.dtype)
-        res = jnp.einsum("nzc,nz->nc", g.reshape(n, zfold, cout), sel)
-    else:
-        out = out.reshape(nrows * b3, cout)
-        res = pin_rowmajor(jnp.take(out, slot, axis=0))
-    res = res.astype(feat.dtype)
-    if bias is not None:
-        res = res + bias
-    return res
+        return jnp.einsum("nzc,nz->nc", g.reshape(n, zfold, cout), sel)
+    return pin_rowmajor(jnp.take(out, slot, axis=0))
+
+
+def _take_back_fwd(out, rc_sorted, starts, slot_order, bsz, compute_dtype, identity):
+    res = _take_back(out, rc_sorted, starts, slot_order, bsz, compute_dtype, identity)
+    return res, (rc_sorted, starts, slot_order, jnp.zeros((0,), out.dtype))
+
+
+def _take_back_bwd(bsz, compute_dtype, identity, res_data, g):
+    # d_out: each valid point's cotangent lands in its unique dense slot —
+    # exactly the fill (overflow/padding rows read the zero trash row in the
+    # forward, so dropping their grads matches jnp.take's VJP observably)
+    rc_sorted, starts, slot_order, dtype_witness = res_data
+    b3 = bsz**3
+    # the fill's (grouped) output row count equals the conv output's row count
+    # by construction — `out` IS a conv over a _block_fill result
+    d_out = _block_fill(g, rc_sorted, starts, slot_order, b3, compute_dtype, identity)
+    d_out = d_out.astype(dtype_witness.dtype)
+    z1 = np.zeros(rc_sorted.shape, jax.dtypes.float0)
+    zm = np.zeros(starts.shape, jax.dtypes.float0)
+    zs = np.zeros(slot_order[0].shape, jax.dtypes.float0)
+    return (d_out, z1, zm, (zs, zs, zs))
+
+
+_take_back.defvjp(_take_back_fwd, _take_back_bwd)
 
 
 def default_block_capacity(capacity: int, factor: float = 1.0 / 16.0, multiple: int = 128) -> int:

@@ -39,6 +39,13 @@ def _bwd_compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _fwd_compiler_params():
+    # the head-PACKED forward holds full-C q/k/v tiles + a [K, C] f32 output
+    # accumulator besides the [K, K] score block: 29.5 MB scoped at C=128
+    # (v5e has 128 MB physical VMEM)
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
@@ -51,8 +58,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    # 1/denom folded into the [K, D] output rows: one fewer [K, K] VPU pass
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -96,6 +103,7 @@ def _run_fwd(q, k, v, scale):
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=_use_interpret(),
+        compiler_params=_fwd_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * g * kk * kk * d, bytes_accessed=4 * g * kk * d * 4, transcendentals=g * kk * kk
         ),
@@ -196,49 +204,78 @@ _flash_flat.defvjp(_flash_flat_fwd, _flash_flat_bwd)
 
 
 def _fwd_kernel_kmajor(qkv_ref, o_ref, *, scale, h, d):
+    """Head-PACKED score/AV matmuls: a [K, D=16] per-head contraction uses
+    1/8 of the MXU's 128-deep systolic array (and a [K, K] @ [K, 16] AV only
+    16 of 128 output lanes). Instead every matmul runs at the full C = H*D
+    width: scores contract a lane-MASKED q against the full k (zero lanes
+    add exact zeros -> S_h bit-identical), AV multiplies the full v and
+    slices head h's block. Executed FLOPs grow H-fold but utilization grows
+    128/D-fold: net 4x at C=32, 2x at C=64, break-even at C=128."""
     c = h * d
+    qkv = qkv_ref[0]
+    qf = qkv[:, :c]
+    kf = qkv[:, c : 2 * c]
+    vf = qkv[:, 2 * c : 3 * c]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     for hh in range(h):
-        q = qkv_ref[0][:, hh * d : (hh + 1) * d]
-        k = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d]
-        v = qkv_ref[0][:, 2 * c + hh * d : 2 * c + (hh + 1) * d]
+        if h == 1:
+            qm = qf
+        else:
+            qm = jnp.where((lane >= hh * d) & (lane < (hh + 1) * d), qf, jnp.zeros_like(qf))
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qm, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / denom).astype(v.dtype)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[0, :, hh * d : (hh + 1) * d] = o.astype(o_ref.dtype)
+        # fold 1/denom into the [K, C] output rows instead of normalizing the
+        # [K, K] matrix: one fewer full-matrix VPU pass (softmax passes, not
+        # the packed MXU matmuls, bound this kernel)
+        o = jnp.dot(p.astype(vf.dtype), vf, preferred_element_type=jnp.float32) / denom
+        o_ref[0, :, hh * d : (hh + 1) * d] = o[:, hh * d : (hh + 1) * d].astype(o_ref.dtype)
 
 
 def _bwd_kernel_kmajor(qkv_ref, do_ref, dqkv_ref, *, scale, h, d):
+    """Head-packed like the forward: every matmul contracts/produces the full
+    C = H*D lanes (masked q / masked dO make the extra lanes exact zeros; the
+    head's block is sliced out of each [K, C] product). See _fwd_kernel_kmajor."""
     c = h * d
+    qkv = qkv_ref[0]
+    qf = qkv[:, :c].astype(jnp.float32)
+    kf = qkv[:, c : 2 * c].astype(jnp.float32)
+    vf = qkv[:, 2 * c : 3 * c].astype(jnp.float32)
+    dof = do_ref[0].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     for hh in range(h):
-        q = qkv_ref[0][:, hh * d : (hh + 1) * d]
-        k = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d]
-        v = qkv_ref[0][:, 2 * c + hh * d : 2 * c + (hh + 1) * d]
-        do = do_ref[0][:, hh * d : (hh + 1) * d].astype(jnp.float32)
+        if h == 1:
+            qm, dom = qf, dof
+        else:
+            sel = (lane >= hh * d) & (lane < (hh + 1) * d)
+            qm = jnp.where(sel, qf, 0.0)
+            dom = jnp.where(sel, dof, 0.0)
+        blk = slice(hh * d, (hh + 1) * d)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qm, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
         p = e / denom
-        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        # dV_h = P_h^T dO_h -> (P^T dOm)[:, h-block]
+        dv = jax.lax.dot_general(p, dom, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        # dP_h = dO_h V_h^T -> dOm vf^T (zero lanes add zeros)
         dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            dof if h == 1 else dom, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         row = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = p * (dp - row) * scale
-        dq = jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+        dq = jnp.dot(ds, kf, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds, qf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        dqkv_ref[0, :, hh * d : (hh + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, c + hh * d : c + (hh + 1) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * c + hh * d : 2 * c + (hh + 1) * d] = dv.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hh * d : (hh + 1) * d] = dq[:, blk].astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + hh * d : c + (hh + 1) * d] = dk[:, blk].astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + hh * d : 2 * c + (hh + 1) * d] = dv[:, blk].astype(dqkv_ref.dtype)
 
 
 def _bwd_kernel_kmajor_chunked(qkv_ref, do_ref, dqkv_ref, *, scale, h, d, chunk):
@@ -250,29 +287,36 @@ def _bwd_kernel_kmajor_chunked(qkv_ref, do_ref, dqkv_ref, *, scale, h, d, chunk)
       A. online-softmax stats (running max m, denominator);
       B. recompute p to accumulate o (row term = do·o);
       C. recompute p for dq/dk/dv.
-    """
+
+    Head-packed like the whole-K kernels: matmuls run at the full C lanes
+    with masked q/dO (exact-zero extra lanes), head blocks sliced out."""
     c = h * d
     kk = qkv_ref.shape[1]
     nchunks = kk // chunk
+    qkv = qkv_ref[0]
+    qf = qkv[:, :c].astype(jnp.float32)
+    dof_all = do_ref[0].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     for hh in range(h):
-        q = qkv_ref[0][:, hh * d : (hh + 1) * d]
-        do = do_ref[0][:, hh * d : (hh + 1) * d].astype(jnp.float32)
+        if h == 1:
+            qm, dom = qf, dof_all
+        else:
+            sel = (lane >= hh * d) & (lane < (hh + 1) * d)
+            qm = jnp.where(sel, qf, 0.0)
+            dom = jnp.where(sel, dof_all, 0.0)
+        blk = slice(hh * d, (hh + 1) * d)
 
         def score(j):
-            kj = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d][
-                j * chunk : (j + 1) * chunk, :
-            ]
+            kj = qkv[j * chunk : (j + 1) * chunk, c : 2 * c].astype(jnp.float32)
             return (
                 jax.lax.dot_general(
-                    q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                    qm, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
                 )
                 * scale
             )  # [K, chunk]
 
         def vchunk(j):
-            return qkv_ref[0][:, 2 * c + hh * d : 2 * c + (hh + 1) * d][
-                j * chunk : (j + 1) * chunk, :
-            ]
+            return qkv[j * chunk : (j + 1) * chunk, 2 * c : 3 * c]
 
         # pass A: running softmax stats
         m = jnp.full((kk, 1), -jnp.inf, jnp.float32)
@@ -286,39 +330,38 @@ def _bwd_kernel_kmajor_chunked(qkv_ref, do_ref, dqkv_ref, *, scale, h, d, chunk)
             )
             m = m_new
 
-        # pass B: o accumulation -> row = sum_k p*dp = do . o
-        o = jnp.zeros((kk, d), jnp.float32)
+        # pass B: o accumulation -> row = sum_k p*dp = do . o (masked dO zeros
+        # the garbage lanes of the packed o product)
+        o = jnp.zeros((kk, c), jnp.float32)
         for j in range(nchunks):
             p = jnp.exp(score(j) - m) / denom
             o = o + jnp.dot(
                 p.astype(qkv_ref.dtype), vchunk(j), preferred_element_type=jnp.float32
             )
-        row = jnp.sum(do * o, axis=-1, keepdims=True)
+        row = jnp.sum(dom * o, axis=-1, keepdims=True)
 
         # pass C: gradients
-        dq = jnp.zeros((kk, d), jnp.float32)
+        dq = jnp.zeros((kk, c), jnp.float32)
         for j in range(nchunks):
             p = jnp.exp(score(j) - m) / denom  # [K, chunk]
             vj = vchunk(j).astype(jnp.float32)
             dp = jax.lax.dot_general(
-                do, vj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                dom, vj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # [K, chunk]
             ds = p * (dp - row) * scale
-            kj = qkv_ref[0][:, c + hh * d : c + (hh + 1) * d][
-                j * chunk : (j + 1) * chunk, :
-            ].astype(jnp.float32)
+            kj = qkv[j * chunk : (j + 1) * chunk, c : 2 * c].astype(jnp.float32)
             dq = dq + jnp.dot(ds, kj, preferred_element_type=jnp.float32)
             dk = jax.lax.dot_general(
-                ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                ds, qf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [chunk, D]
+            )  # [chunk, C]
             dv = jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [chunk, D]
+                p, dom, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [chunk, C]
             sl = slice(j * chunk, (j + 1) * chunk)
-            dqkv_ref[0, sl, c + hh * d : c + (hh + 1) * d] = dk.astype(dqkv_ref.dtype)
-            dqkv_ref[0, sl, 2 * c + hh * d : 2 * c + (hh + 1) * d] = dv.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, hh * d : (hh + 1) * d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[0, sl, c + hh * d : c + (hh + 1) * d] = dk[:, blk].astype(dqkv_ref.dtype)
+            dqkv_ref[0, sl, 2 * c + hh * d : 2 * c + (hh + 1) * d] = dv[:, blk].astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, hh * d : (hh + 1) * d] = dq[:, blk].astype(dqkv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -338,6 +381,7 @@ def _run_fwd_kmajor(qkv3, scale, h, d):
         in_specs=[spec_in],
         out_specs=spec_out,
         interpret=_use_interpret(),
+        compiler_params=_fwd_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * np_ * h * kk * kk * d,
             bytes_accessed=4 * np_ * kk * c * 2,
