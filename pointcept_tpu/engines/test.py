@@ -228,50 +228,83 @@ class TesterBase:
         bb = model_cfg.get("backbone")
         return bool(bb) and str(dict(bb).get("type", "")).startswith("PT-v3")
 
-    def scene_accumulate(self, manifest, num_classes: int, n_slots: int):
+    def _coord_from_grid_ok(self) -> bool:
+        """Per-fragment float coords can be dropped from the wire when the
+        backbone's logits are coord-insensitive (PT-v3 consumes coord only via
+        RoPE/RPE; grid_coord drives everything else — the headline bench's
+        wire format relies on the same property, ops/wire.py docstring)."""
+        bb = dict(dict(self.cfg.model).get("backbone") or {})
+        return not bb.get("enable_rpe", False) and bb.get("rope_base") is None
+
+    def scene_accumulate(self, num_classes: int, n_slots: int, cap: int,
+                         grid_packed: bool, with_coord: bool):
         """jit: one dispatch per fragment GROUP sharing one voxel grid.
 
-        Builds the forward geometry ONCE (PT-v3 build_geometry), then scans
-        batched forwards of B=4 fragments over it, scatter-adding each
-        fragment's softmax into the device-resident accumulator. vs the
-        per-fragment loop (`frag_accumulate`): geometry cost amortized over
-        the whole group and the forward runs at the batched (B=4) rate the
-        forward bench measured ~25% faster per point.
+        Builds the forward geometry ONCE (PT-v3 build_geometry) from the
+        group's shared grid, then scans B=4-batched forwards over it,
+        scatter-adding each fragment's softmax into the device-resident
+        accumulator. The wire is slim: the grid rides ONCE per group (all
+        fragments of a GridSample test voxelization share it — that is what
+        makes the geometry shareable at all), fragments carry only their
+        [cap, F] float features + pred_index (+ coord for RoPE/RPE models);
+        batch/mask derive from the scalar fragment length.
         """
-        key = (manifest, num_classes, n_slots)
+        key = (num_classes, n_slots, cap, grid_packed, with_coord)
         cache = getattr(self, "_scene_acc_cache", None)
         if cache is None:
             cache = self._scene_acc_cache = {}
         if key in cache:
             return cache[key]
-        from pointcept_tpu.ops.wire import unpack_raw
+        from pointcept_tpu.ops.wire import _GRID_BITS
 
         model = self.model
         bb = build_model(dict(dict(self.cfg.model)["backbone"]))
         B = min(4, n_slots)
         assert n_slots % B == 0
         G = n_slots // B
-        cap = self.test_capacity
+        grid_size = float(dict(dict(self.cfg.model)["backbone"]).get("grid_size", 0.02))
 
-        def unpack_group(wb):  # [B, W] -> (arrays dict at B*cap, idx [B, cap])
-            ds = [unpack_raw(wb[b], manifest) for b in range(B)]
-            idx = jnp.stack([d.pop("pred_index") for d in ds])
-            arrays = {k: jnp.concatenate([d[k] for d in ds], axis=0) for k in ds[0]}
-            arrays["batch"] = jnp.concatenate(
-                [jnp.where(ds[b]["batch"] >= 0, b, -1) for b in range(B)]
-            )
-            return arrays, idx
-
-        @partial(jax.jit, donate_argnums=(2, 3))
-        def fn(state, words, pred, dropped):  # words [n_slots, W] int32
+        @partial(jax.jit, donate_argnums=(3, 4), static_argnums=(5,))
+        def fn(state, shared, words, pred, dropped, n_feat):
+            # shared: {"grid": [cap] packed or [cap,3], "n_frag": scalar}
             vars_ = {"params": state.params, "batch_stats": state.batch_stats}
-            a0, _ = unpack_group(words[:B])
+            if grid_packed:
+                w = shared["grid"].astype(jnp.int32)
+                m = (1 << _GRID_BITS) - 1
+                grid1 = jnp.stack(
+                    [w & m, (w >> _GRID_BITS) & m, (w >> (2 * _GRID_BITS)) & m], axis=1
+                )
+            else:
+                grid1 = shared["grid"].astype(jnp.int32)
+            n_frag = shared["n_frag"]
+            valid1 = jnp.arange(cap, dtype=jnp.int32) < n_frag
+            grid1 = jnp.where(valid1[:, None], grid1, 0)
+            gridB = jnp.tile(grid1, (B, 1))
+            batchB = jnp.concatenate(
+                [jnp.where(valid1, b, -1) for b in range(B)]
+            ).astype(jnp.int32)
+            coordB_default = gridB.astype(jnp.float32) * grid_size
+
+            def arrays_of(wb):  # [B, W] -> (arrays dict at B*cap, idx [B, cap])
+                nf = n_feat
+                nfloat = nf + (3 if with_coord else 0)
+                f32 = jax.lax.bitcast_convert_type(wb[:, : nfloat * cap], jnp.float32)
+                feat = f32[:, : nf * cap].reshape(B, cap, nf).reshape(-1, nf)
+                if with_coord:
+                    coord = f32[:, nf * cap :].reshape(B, cap, 3).reshape(-1, 3)
+                else:
+                    coord = coordB_default
+                idx = wb[:, nfloat * cap :]
+                arrays = dict(feat=feat, coord=coord, grid_coord=gridB, batch=batchB)
+                return arrays, idx
+
+            a0, _ = arrays_of(words[0])
             pb0 = make_point_batch(a0, B)
             geom = bb.build_geometry(pb0.replace(feat=None))
 
             def body(carry, wb):
                 pred, dropped = carry
-                arrays, idx = unpack_group(wb)
+                arrays, idx = arrays_of(wb)
                 pb = make_point_batch(arrays, B)
                 out, st = model.apply(
                     vars_, pb, train=False, precomputed=geom, mutable=["diagnostics"]
@@ -340,11 +373,15 @@ class SemSegTester(TesterBase):
     supports_device_accumulate = True
 
     def _pack_fragment(self, fragment, n_vox: int):
-        """Host side of one fragment: pad + pack into one int32 wire buffer.
+        """Host side of one fragment -> wire record dict.
 
-        Runs on the prefetch thread so the (numpy-heavy) fragment prep
-        overlaps device execution of the previous scene."""
-        from pointcept_tpu.ops.wire import pack_raw, raw_manifest
+        Grouped path (`_fragment_geometry_ok`): slim wire — per-fragment
+        [cap, F] f32 features (+ coord for RoPE/RPE) + pred_index, and the
+        SHARED group payload (packed voxel grid + fragment length) attached
+        once; fragments of one GridSample voxelization share their grid
+        bit-for-bit, which is also what keys the geometry groups. Fallback:
+        the generic pack_raw buffer for the per-fragment loop."""
+        from pointcept_tpu.ops.wire import _GRID_BITS, pack_raw, raw_manifest
 
         cap = self.test_capacity
         index = np.asarray(fragment.pop("index"))
@@ -362,23 +399,42 @@ class SemSegTester(TesterBase):
         # pad rows (and forward rows beyond n_frag) land in the trash region
         # [n_vox, n_vox + cap) of the accumulator — unique rows, so the
         # scatter stays in its fast unique-indices mode
-        arrays["pred_index"] = np.concatenate(
+        pred_index = np.concatenate(
             [index.astype(np.int64), n_vox + np.arange(cap - n_frag)]
         ).astype(np.int32)
-        # geometry key: fragments with identical voxel grids (same GridSample
-        # test-mode voxelization) share their whole forward geometry
+        if not self._fragment_geometry_ok() or "grid_coord" not in arrays:
+            arrays["pred_index"] = pred_index
+            return dict(
+                kind="raw", words=pack_raw(arrays), manifest=raw_manifest(arrays),
+                n_frag=n_frag, gk=None,
+            )
         import hashlib
 
-        gk = None
-        if "grid_coord" in arrays:
-            gk = (
-                hashlib.blake2b(
-                    np.ascontiguousarray(arrays["grid_coord"], np.int32).tobytes(),
-                    digest_size=16,
-                ).hexdigest(),
-                n_frag,
+        grid = np.ascontiguousarray(arrays["grid_coord"], np.int64)
+        gk = (hashlib.blake2b(grid.tobytes(), digest_size=16).hexdigest(), n_frag)
+        with_coord = not self._coord_from_grid_ok()
+        feat = np.ascontiguousarray(arrays["feat"], np.float32)
+        nf = feat.shape[1]
+        nfloat = nf + (3 if with_coord else 0)
+        words = np.empty((nfloat + 1) * cap, np.int32)
+        words[: nf * cap] = feat.view(np.int32).ravel()
+        if with_coord:
+            words[nf * cap : nfloat * cap] = (
+                np.ascontiguousarray(arrays["coord"], np.float32).view(np.int32).ravel()
             )
-        return pack_raw(arrays), raw_manifest(arrays), n_frag, gk
+        words[nfloat * cap :] = pred_index
+        grid_packed = grid.min() >= 0 and grid.max() < (1 << _GRID_BITS)
+        if grid_packed:
+            gw = (
+                grid[:, 0] | (grid[:, 1] << _GRID_BITS) | (grid[:, 2] << (2 * _GRID_BITS))
+            ).astype(np.int32)
+        else:
+            gw = grid.astype(np.int32)
+        return dict(
+            kind="slim", words=words, n_frag=n_frag, gk=gk, n_feat=nf,
+            with_coord=with_coord, grid_packed=grid_packed,
+            shared=dict(grid=gw, n_frag=np.int32(n_frag)),
+        )
 
     def _prepare_scene(self, idx: int, fast: bool, save_path: str):
         """Prefetch-thread scene loader: dataset fragments + wire packing."""
@@ -418,32 +474,31 @@ class SemSegTester(TesterBase):
         # geometry is shared, so the group runs as ONE dispatch (geometry once
         # + scan of B=4-batched forwards) instead of per-fragment graphs
         groups = OrderedDict()
-        use_groups = self._fragment_geometry_ok()
+        use_groups = True
         for rec in packed:
-            words_np, manifest, n_frag, gk = rec
-            total_pts += n_frag
-            if gk is None:
+            total_pts += rec["n_frag"]
+            if rec["gk"] is None:
                 use_groups = False
-            groups.setdefault(gk, []).append(rec)
+            groups.setdefault(rec["gk"], []).append(rec)
         if use_groups:
             for gi, (gk, recs) in enumerate(groups.items()):
-                manifest = recs[0][1]
+                r0 = recs[0]
                 n_slots = self._slot_bucket(len(recs))
-                stack = [r[0] for r in recs]
+                nfloat = r0["n_feat"] + (3 if r0["with_coord"] else 0)
+                big = np.empty((n_slots, (nfloat + 1) * cap), np.int32)
+                for i, r in enumerate(recs):
+                    big[i] = r["words"]
                 if n_slots > len(recs):
                     # dummy slots: fragment 0's payload with an all-trash
                     # pred_index so its forward contributes nothing
-                    off = 0
-                    for k, _dt, shape in manifest:
-                        if k == "pred_index":
-                            break
-                        off += int(np.prod(shape))
-                    dummy = stack[0].copy()
-                    dummy[off : off + cap] = n_vox + np.arange(cap, dtype=np.int32)
-                    stack += [dummy] * (n_slots - len(recs))
-                fn = self.scene_accumulate(manifest, num_classes, n_slots)
-                words = jax.device_put(np.stack(stack))
-                pred, dropped = fn(self.state, words, pred, dropped)
+                    big[len(recs) :] = big[0]
+                    big[len(recs) :, nfloat * cap :] = n_vox + np.arange(cap, dtype=np.int32)
+                fn = self.scene_accumulate(
+                    num_classes, n_slots, cap, r0["grid_packed"], r0["with_coord"]
+                )
+                shared = jax.device_put(r0["shared"])
+                words = jax.device_put(big)
+                pred, dropped = fn(self.state, shared, words, pred, dropped, r0["n_feat"])
                 logger.info(
                     "Test: {}/{}-{data_name}, Fragment group: {gi}/{ng} ({nf} frags)".format(
                         pos + 1, n_scenes, data_name=data_name, gi=gi + 1,
@@ -452,10 +507,10 @@ class SemSegTester(TesterBase):
                 )
         else:
             fn = None
-            for i, (words_np, manifest, n_frag, _gk) in enumerate(packed):
+            for i, rec in enumerate(packed):
                 if fn is None:
-                    fn = self.frag_accumulate(manifest, num_classes)
-                words = jax.device_put(words_np)
+                    fn = self.frag_accumulate(rec["manifest"], num_classes)
+                words = jax.device_put(rec["words"])
                 pred, dropped = fn(self.state, words, pred, dropped)
                 logger.info(
                     "Test: {}/{}-{data_name}, Fragment batch: {batch_idx}/{total_batch}".format(

@@ -503,7 +503,22 @@ def block_subm_conv(
         and halo > 0
         and banded_bytes <= 4 * 2**20
     )
-    if use_2d:
+    # BLOCK_CONV_FLAT3D=1: assemble the halo with the FLAT row-major concat
+    # chain (no 5-D tensors in the assembly) and feed lax.conv through a pure
+    # bitcast reshape — probes whether the four differently-permuted ~305 MB
+    # copies of the 5-D assembly (r5 trace) beat the flat concat costs
+    if not use_2d and halo > 0 and _os.environ.get("BLOCK_CONV_FLAT3D", "0") == "1":
+        hal2 = _halo_expand_flat(
+            dense.reshape(nrows, b3 * cin), nbr_ext, bsz, halo, cin
+        )
+        hal = hal2.reshape(nrows, hsz, hsz, hsz, cin)
+        w = weight.reshape(kernel_size, kernel_size, kernel_size, cin, cout).astype(compute_dtype)
+        out = jax.lax.conv_general_dilated(
+            hal, w, window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        out = out.reshape(nrows * b3, cout)
+    elif use_2d:
         from pointcept_tpu.ops.pallas.tap_conv import pack_w2
 
         hal2 = _halo_expand_flat(
