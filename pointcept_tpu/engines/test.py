@@ -298,7 +298,7 @@ class TesterBase:
                 arrays = dict(feat=feat, coord=coord, grid_coord=gridB, batch=batchB)
                 return arrays, idx
 
-            a0, _ = arrays_of(words[0])
+            a0, _ = arrays_of(words[:B])
             pb0 = make_point_batch(a0, B)
             geom = bb.build_geometry(pb0.replace(feat=None))
 

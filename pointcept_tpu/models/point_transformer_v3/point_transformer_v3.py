@@ -85,16 +85,19 @@ class SubMConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray, geom) -> jnp.ndarray:
+    def __call__(self, feat: jnp.ndarray, geom, train: bool = False) -> jnp.ndarray:
         cin = feat.shape[-1]
         w = self.param("weight", conv_kernel_init, (self.num_offsets, cin, self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,)) if self.use_bias else None
-        # jax.checkpoint: the conv's intermediates (dense fill ~300 MB, halo
-        # tile ~1 GB per full-res conv at bench scale) would otherwise be
-        # saved as VJP residuals — the whole backward then spills HBM to host
-        # (measured 115 s/step through the bench tunnel). Rematerializing
-        # costs one extra fill+halo+conv in the backward; residuals shrink to
-        # the [N, C] input. No effect on forward-only graphs.
+        # jax.checkpoint (train only): the conv's intermediates (dense fill
+        # ~300 MB, halo tile ~1 GB per full-res conv at bench scale) would
+        # otherwise be saved as VJP residuals — the whole backward then spills
+        # HBM to host (measured 115 s/step through the bench tunnel).
+        # Rematerializing costs one extra fill+halo+conv in the backward;
+        # residuals shrink to the [N, C] input. Eval graphs skip the wrapper:
+        # remat's optimization barriers blow XLA CPU compile time up ~100x
+        # (a 1-minute eval compile was observed stuck for hours).
+        ckpt = jax.checkpoint if train else (lambda f: f)
         if isinstance(geom, dict):  # block tables
             k = round(self.num_offsets ** (1.0 / 3.0))
             statics = dict(
@@ -109,10 +112,10 @@ class SubMConv(nn.Module):
             def conv_fn(f, ww, bb_, t):
                 return block_subm_conv(f, {**t, **statics}, ww, bb_, kernel_size=k)
 
-            return jax.checkpoint(conv_fn)(feat, w, b, arrays)
+            return ckpt(conv_fn)(feat, w, b, arrays)
         # bf16 gather+matmul (f32 accumulate): halves the gather traffic;
         # matches the reference's AMP behavior
-        return jax.checkpoint(
+        return ckpt(
             lambda f, ww, bb_, g: gather_conv(f, g, ww, bb_, compute_dtype=jnp.bfloat16)
         )(feat, w, b, geom)
 
@@ -304,7 +307,7 @@ class Block(nn.Module):
         # decoder block's cpe conv sees only the proj_skip branch, while the
         # residual shortcut uses the proper sum.
         cpe = SubMConv(c, 27, use_bias=True, name="cpe_conv")(
-            feat if cpe_feat is None else cpe_feat, nbr3
+            feat if cpe_feat is None else cpe_feat, nbr3, train
         )
         cpe = nn.Dense(c, kernel_init=conv_kernel_init, dtype=self.dtype, name="cpe_linear")(cpe)
         cpe = apply_ln("cpe_norm", self.pd, cpe, train, pb)
@@ -705,7 +708,7 @@ class Embedding(nn.Module):
             feat = apply_ln("stem_norm", self.pd, feat, train, pb)
             feat = nn.gelu(feat)
         else:
-            feat = SubMConv(self.embed_channels, 125, use_bias=False, name="stem_conv")(pb.feat, nbr5)
+            feat = SubMConv(self.embed_channels, 125, use_bias=False, name="stem_conv")(pb.feat, nbr5, train)
             feat = apply_bn("stem_norm", self.pd, feat, pb.mask, train, pb)
             feat = nn.gelu(feat)
         if self.mask_token:
