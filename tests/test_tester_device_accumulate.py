@@ -121,17 +121,32 @@ def test_device_accumulate_matches_host_loop(tmp_path):
     assert abs(res_f["mIoU"] - res_h["mIoU"]) < 1e-6
 
 
-def _block_cfg(tmp_path, sub, reuse):
+def _grouped_cfg(tmp_path, sub, reuse):
     cfg = _cfg(tmp_path, True, sub)
-    # block conv engine (no host-geometry plan) engages the shared-geometry
-    # grouped fragment path; fragment_geometry_reuse=False pins the old
-    # per-fragment loop on the same model for comparison
-    cfg.model["backbone"]["conv_engine"] = "block"
-    cfg.model["backbone"]["block_engine_min_points"] = 1024
-    # sparse synthetic scenes at 0.05 m occupy far more 8^3 blocks per point
-    # than ScanNet-density scans; size the static block table generously
-    cfg.model["backbone"]["block_capacity_factor"] = 0.5
-    cfg.fragment_geometry_reuse = reuse
+    # host_geometry off -> no host plan -> the shared-geometry grouped
+    # fragment path engages (gather conv engine: the block engine's dense
+    # tiles are pathological on sparse low-density synthetic scenes and on
+    # the 1-core CPU CI box; the block-engine grouped path is exercised on
+    # the TPU bench instead). fragment_geometry_reuse=False pins the old
+    # per-fragment loop on the same model for comparison.
+    cfg._cfg_dict["host_geometry"] = False
+    cfg._cfg_dict["fragment_geometry_reuse"] = reuse
+    # keep the grouped scene graph (scan of batched forwards) SMALL: it is
+    # the largest graph the quick tier compiles on the 1-core box
+    bb = cfg.model["backbone"]
+    bb["order"] = ("z", "z-trans")
+    bb["enc_depths"] = (1, 1)
+    bb["enc_channels"] = (16, 32)
+    bb["enc_num_head"] = (2, 4)
+    bb["enc_patch_size"] = (64, 64)
+    bb["stride"] = (2,)
+    bb["dec_depths"] = (1,)
+    bb["dec_channels"] = (16,)
+    bb["dec_num_head"] = (2,)
+    bb["dec_patch_size"] = (64,)
+    bb["pool_capacity_factors"] = (0.7,)
+    cfg._cfg_dict["point_capacity_test"] = 4096
+    cfg.data["test"]["num_points"] = 2500
     return cfg
 
 
@@ -139,11 +154,11 @@ def test_fragment_geometry_reuse_matches_per_fragment(tmp_path):
     """Grouped path (shared build_geometry + B=4-batched scan) must reproduce
     the per-fragment loop's accumulated predictions."""
     os.makedirs(str(tmp_path / "grp"), exist_ok=True)
-    t1 = TESTERS.build(dict(type="SemSegTester", cfg=_block_cfg(tmp_path, "grp", True)))
+    t1 = TESTERS.build(dict(type="SemSegTester", cfg=_grouped_cfg(tmp_path, "grp", True)))
     assert t1._fragment_geometry_ok()
     res1 = t1.test()
     os.makedirs(str(tmp_path / "frag"), exist_ok=True)
-    t2 = TESTERS.build(dict(type="SemSegTester", cfg=_block_cfg(tmp_path, "frag", False)))
+    t2 = TESTERS.build(dict(type="SemSegTester", cfg=_grouped_cfg(tmp_path, "frag", False)))
     assert not t2._fragment_geometry_ok()
     t2.state = t1.state
     res2 = t2.test()
