@@ -156,6 +156,8 @@ def tester_bench(on_tpu: bool):
         dict(
             save_path=save_path,
             batch_size_test_per_gpu=1,
+            # fragments per scanned forward in the grouped tester dispatch
+            tester_fragment_batch=int(os.environ.get("BENCH_TESTER_B", "4")),
             point_capacity_test=capacity,
             num_worker=0,
             model=model_cfg,

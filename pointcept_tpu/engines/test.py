@@ -259,7 +259,7 @@ class TesterBase:
 
         model = self.model
         bb = build_model(dict(dict(self.cfg.model)["backbone"]))
-        B = min(4, n_slots)
+        B = min(self._fragment_batch(), n_slots)
         assert n_slots % B == 0
         G = n_slots // B
         grid_size = float(dict(dict(self.cfg.model)["backbone"]).get("grid_size", 0.02))
@@ -329,13 +329,20 @@ class TesterBase:
         cache[key] = fn
         return cache[key]
 
-    @staticmethod
-    def _slot_bucket(n: int) -> int:
-        """Fragment-group padding bucket: exact at 1/2, else multiples of 4
-        (bounds dummy-forward waste at <=3 fragments per group)."""
+    def _fragment_batch(self) -> int:
+        """Fragments per scanned forward in the grouped path. B=4 matches the
+        headline bench's measured optimum at 102k-point capacity; larger test
+        capacities can A/B via cfg.tester_fragment_batch (pool/block capacity
+        padding scales with B*cap and can flip the trade)."""
+        return int(self.cfg.get("tester_fragment_batch", 4))
+
+    def _slot_bucket(self, n: int) -> int:
+        """Fragment-group padding bucket: exact at 1/2, else multiples of the
+        fragment batch (bounds dummy-forward waste at <=B-1 per group)."""
+        b = self._fragment_batch()
         if n <= 2:
             return n
-        return ((n + 3) // 4) * 4
+        return ((n + b - 1) // b) * b
 
     def check_dropped(self, dropped: int, n_valid: int, context: str):
         """Fail loudly when static capacities dropped points at eval.
@@ -454,13 +461,23 @@ class SemSegTester(TesterBase):
     def _test_scene_device(
         self, packed, n_vox: int, num_classes: int, data_name, logger, pos, n_scenes
     ):
-        """Fragment loop with a device-resident accumulator (see
-        `TesterBase.frag_accumulate`). Returns the [n_vox, C] numpy pred.
+        """Dispatch + collect in one call (kept for subclasses/tests; the main
+        `test()` loop uses the split pair below to pipeline across scenes)."""
+        h = self._dispatch_scene_device(
+            packed, n_vox, num_classes, data_name, logger, pos, n_scenes
+        )
+        return self._collect_scene_device(h, data_name)
 
-        The loop never blocks per fragment: device_put / execute enqueue
-        asynchronously through the runtime, so transfers and forwards of
-        consecutive fragments pipeline (measured 106.8 ms/fragment vs
-        304.7 ms when synchronized, exp/tester_pipeline_probe.py)."""
+    def _dispatch_scene_device(
+        self, packed, n_vox: int, num_classes: int, data_name, logger, pos, n_scenes
+    ):
+        """Fragment loop with a device-resident accumulator (see
+        `TesterBase.frag_accumulate`). Enqueues every transfer and forward
+        WITHOUT blocking and returns a handle; `_collect_scene_device` syncs
+        and fetches. The split lets `test()` keep one scene in flight: scene
+        i's wire assembly + H2D put + D2H fetch hide behind scene i±1's
+        device work (measured 6.5 -> ~4 s/scene on the bench tester, where
+        put/host/fetch were ~3.2 s of the serial 6.5)."""
         cap = self.test_capacity
         # bucket the accumulator rows (64k granularity) so scenes of similar
         # size share one compiled update fn; rows [n_vox, n_vox + cap) are the
@@ -518,13 +535,21 @@ class SemSegTester(TesterBase):
                         total_batch=len(packed),
                     )
                 )
-        self.check_dropped(int(dropped), max(total_pts, 1), data_name)
-        # fetch through a dense 1-D staging buffer: a [N, C] f32 array tiles
-        # to (8, 128) lanes on TPU (C=20 -> 6.4x padding), and the de-tiling
-        # D2H measured ~8 MB/s through the tunnel (1.9 s/scene); the on-device
-        # flatten costs ~3 ms and the 1-D transfer is dense. The fetch length
-        # shares the accumulator's 64k row bucketing so the tiny flatten
-        # program compiles once per bucket, not per scene.
+        return dict(
+            pred=pred, dropped=dropped, total_pts=total_pts, n_vox=n_vox,
+            num_classes=num_classes, bucket=bucket,
+        )
+
+    def _collect_scene_device(self, handle, data_name):
+        """Sync + fetch one dispatched scene: overflow check, then the pred
+        through a dense 1-D staging buffer: a [N, C] f32 array tiles
+        to (8, 128) lanes on TPU (C=20 -> 6.4x padding), and the de-tiling
+        D2H measured ~8 MB/s through the tunnel (1.9 s/scene); the on-device
+        flatten costs ~3 ms and the 1-D transfer is dense. The fetch length
+        shares the accumulator's 64k row bucketing so the tiny flatten
+        program compiles once per bucket, not per scene."""
+        n_vox, num_classes, bucket = handle["n_vox"], handle["num_classes"], handle["bucket"]
+        self.check_dropped(int(handle["dropped"]), max(handle["total_pts"], 1), data_name)
         fetch_rows = ((n_vox + bucket - 1) // bucket) * bucket
         cache = getattr(self, "_fetch_cache", None)
         if cache is None:
@@ -532,7 +557,7 @@ class SemSegTester(TesterBase):
         key = (fetch_rows, num_classes)
         if key not in cache:
             cache[key] = jax.jit(lambda p: p[:fetch_rows].reshape(-1))
-        out = np.asarray(cache[key](pred))
+        out = np.asarray(cache[key](handle["pred"]))
         return out[: n_vox * num_classes].reshape(n_vox, num_classes)
 
     def test(self):
@@ -576,6 +601,49 @@ class SemSegTester(TesterBase):
 
             pool = ThreadPoolExecutor(max_workers=1)
             fut = pool.submit(self._prepare_scene, indices[0], fast, save_path)
+
+        # one scene stays IN FLIGHT on the device: scene i's wire assembly +
+        # H2D puts + dispatches are enqueued, then scene i-1 is collected
+        # (sync + fetch + metrics) while the device executes scene i — the
+        # host-side ~3 s/scene (put/assembly/fetch, measured on the bench
+        # tester) hides behind the ~3.3 s of device work per scene
+        inflight = []
+
+        def finish_scene(pred, data_dict, segment, data_name, pos, end, save_pred):
+            if save_pred:
+                if "origin_segment" in data_dict:
+                    assert "inverse" in data_dict
+                    pred = pred[data_dict["inverse"]]
+                    segment = data_dict["origin_segment"]
+                np.save(os.path.join(save_path, "{}_pred.npy".format(data_name)), pred)
+            pred_label = np.argmax(pred, axis=-1)
+            if submit_dir is not None:
+                self.write_submission(submit_dir, data_name, pred_label)
+            intersection, union, target = intersection_and_union(
+                pred_label, segment, num_classes, ignore_index
+            )
+            record[data_name] = dict(intersection=intersection, union=union, target=target)
+            mask = union != 0
+            iou_class = intersection / (union + 1e-10)
+            iou = np.mean(iou_class[mask])
+            acc = sum(intersection) / (sum(target) + 1e-10)
+            batch_time.update(time.time() - end)
+            logger.info(
+                "Test: {} [{}/{}]-{} "
+                "Batch {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                "Accuracy {acc:.4f} ({m_acc:.4f}) "
+                "mIoU {iou:.4f}".format(
+                    data_name, pos + 1, len(indices), segment.size,
+                    batch_time=batch_time, acc=acc, m_acc=0.0, iou=iou,
+                )
+            )
+
+        def flush_inflight():
+            if inflight:
+                handle, dd, seg, name, p, end = inflight.pop()
+                pred = self._collect_scene_device(handle, name)
+                finish_scene(pred, dd, seg, name, p, end, save_pred=True)
+
         for pos, idx in enumerate(indices):
             end = time.time()
             if fut is not None:
@@ -598,18 +666,25 @@ class SemSegTester(TesterBase):
                 packed = None
             pred_save_path = os.path.join(save_path, "{}_pred.npy".format(data_name))
             if os.path.isfile(pred_save_path):
+                flush_inflight()
                 logger.info("{}/{}: {}, loaded pred and label.".format(pos + 1, len(indices), data_name))
                 pred = np.load(pred_save_path)
                 if "origin_segment" in data_dict:
                     segment = data_dict["origin_segment"]
+                finish_scene(pred, data_dict, segment, data_name, pos, end, save_pred=False)
+                continue
             else:
                 cap = self.test_capacity
                 if packed is not None:
-                    pred = self._test_scene_device(
+                    handle = self._dispatch_scene_device(
                         packed, segment.size, num_classes, data_name,
                         logger, pos, len(indices),
                     )
+                    flush_inflight()
+                    inflight.append((handle, data_dict, segment, data_name, pos, end))
+                    continue
                 else:
+                    flush_inflight()
                     pred = np.zeros((segment.size, num_classes), dtype=np.float32)
                     for i, fragment in enumerate(fragment_list):
                         index = fragment.pop("index")
@@ -629,43 +704,9 @@ class SemSegTester(TesterBase):
                                 pos + 1, len(indices), data_name=data_name, batch_idx=i, total_batch=len(fragment_list)
                             )
                         )
-                if "origin_segment" in data_dict:
-                    assert "inverse" in data_dict
-                    pred = pred[data_dict["inverse"]]
-                    segment = data_dict["origin_segment"]
-                np.save(pred_save_path, pred)
-            pred_label = np.argmax(pred, axis=-1)
+                finish_scene(pred, data_dict, segment, data_name, pos, end, save_pred=True)
 
-            if submit_dir is not None:
-                self.write_submission(submit_dir, data_name, pred_label)
-
-            intersection, union, target = intersection_and_union(
-                pred_label, segment, num_classes, ignore_index
-            )
-            record[data_name] = dict(intersection=intersection, union=union, target=target)
-
-            mask = union != 0
-            iou_class = intersection / (union + 1e-10)
-            iou = np.mean(iou_class[mask])
-            acc = sum(intersection) / (sum(target) + 1e-10)
-
-            batch_time.update(time.time() - end)
-            logger.info(
-                "Test: {} [{}/{}]-{} "
-                "Batch {batch_time.val:.3f} ({batch_time.avg:.3f}) "
-                "Accuracy {acc:.4f} ({m_acc:.4f}) "
-                "mIoU {iou:.4f}".format(
-                    data_name,
-                    pos + 1,
-                    len(indices),
-                    segment.size,
-                    batch_time=batch_time,
-                    acc=acc,
-                    m_acc=0.0,
-                    iou=iou,
-                )
-            )
-
+        flush_inflight()
         if pool is not None:
             pool.shutdown(wait=False)
         logger.info("Syncing ...")
